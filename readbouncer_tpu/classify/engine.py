@@ -1,0 +1,253 @@
+"""Offline classification engine (`classify` usage).
+
+Rebuild of the reference's classify driver (src/main/classify.hpp:142-380)
+as batched device waves instead of a per-read loop:
+
+* reads stream from FASTA/FASTQ in host batches,
+* wave ``i`` classifies the ``i``-th disjoint chunk
+  ``seq[i*chunk_length : (i+1)*chunk_length)`` of every still-unclassified
+  read in the batch — one fixed-shape device program per wave
+  (pad-to-bucket, SURVEY.md §7 Hard Parts #3),
+* reads shorter than ``chunk_length`` are "too short" and skipped
+  (reference: src/main/classify.hpp:247-250),
+* a classified read's *full* sequence goes to the best target's FASTA;
+  unclassified reads go to ``unclassified.fasta``
+  (reference: src/main/classify.hpp:284-301).
+
+Deliberate divergence from the reference, documented: the reference's
+chunk loop keeps iterating past the end of the read and builds a
+``seqan::infix(seq, fragstart > len, len)`` whose behavior is undefined
+(src/main/classify.hpp:262-272); we stop attempting chunks once
+``i*chunk_length >= len``.  Chunks whose tail is shorter than k count as
+unmatched instead of raising (the reference's single-filter overload
+would throw ShortReadException and drop the read from every output;
+src/IBF/IBFClassify.cpp:290-294).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+from readbouncer_tpu.classify.math import ci_and_threshold_batch
+from readbouncer_tpu.classify.policy import classify_decisions
+from readbouncer_tpu.fastio.fasta import FastaWriter, read_records
+from readbouncer_tpu.ibf.hashing import encode_bases
+from readbouncer_tpu.ibf.query import FilterStack
+from readbouncer_tpu.ibf.storage import IBFData
+
+__all__ = ["ClassifyResults", "ClassifyEngine", "classify_read_files"]
+
+
+@dataclass
+class ClassifyResults:
+    """Counters matching the reference's final stats block
+    (src/main/classify.hpp:349-365) and test back-channel
+    (ClassificationResults_, src/main/classify.hpp:127-134)."""
+
+    found: int = 0
+    failed: int = 0
+    too_short: int = 0
+    read_counter: int = 0
+    per_target: dict[str, int] = field(default_factory=dict)
+    avg_classify_seconds: float = 0.0
+
+    def report(self, chunk_length: int) -> str:
+        lines = [
+            "------------------------------- Final Results -------------------------------",
+            f"Number of classified reads                         :   {self.found}",
+            f"Number of of too short reads (len < {chunk_length})           :   {self.too_short}",
+            f"Number of all reads                                :   {self.read_counter}",
+        ]
+        for name, n in self.per_target.items():
+            frac = (n / self.read_counter) if self.read_counter else 0.0
+            lines.append(f"{name}\t : {n}\t\t{frac}")
+        lines.append(
+            f"Average Processing Time Read Classification        :   {self.avg_classify_seconds}"
+        )
+        lines.append(
+            "-----------------------------------------------------------------------------------"
+        )
+        return "\n".join(lines)
+
+
+def encode_batch(seqs: list[str], length: int, batch: int | None = None):
+    """Encode + right-pad sequences to a fixed [R, length] u8 array."""
+    R = batch if batch is not None else len(seqs)
+    out = np.zeros((R, length), dtype=np.uint8)
+    lens = np.zeros(R, dtype=np.int32)
+    for i, s in enumerate(seqs):
+        b = encode_bases(s[:length])
+        out[i, : b.shape[0]] = b
+        lens[i] = b.shape[0]
+    return out, lens
+
+
+class ClassifyEngine:
+    """Batched chunk classifier over target/deplete filter stacks."""
+
+    def __init__(
+        self,
+        target_filters: list[IBFData],
+        deplete_filters: list[IBFData],
+        error_rate: float,
+        significance: float = 0.95,
+        chunk_length: int = 250,
+        max_chunks: int = 5,
+        batch_size: int = 1024,
+    ):
+        if not target_filters and not deplete_filters:
+            raise ValueError(
+                "No depletion or target filters have been provided for classification!"
+            )
+        self.targets = FilterStack(target_filters) if target_filters else None
+        self.depletes = FilterStack(deplete_filters) if deplete_filters else None
+        self.target_names = [f.name for f in target_filters]
+        self.error_rate = error_rate
+        self.significance = significance
+        self.chunk_length = chunk_length
+        self.max_chunks = max_chunks
+        self.batch_size = batch_size
+
+    def _stack_counts(self, stack: FilterStack, frags, lens, retry: bool):
+        counts = stack.counts(frags, lens)
+        rate = self.error_rate - 0.02 if retry else self.error_rate
+        thr = ci_and_threshold_batch(lens, stack.kmer_size, rate, self.significance)
+        return np.asarray(stack.max_counts(counts, thr))
+
+    def classify_fragments(self, frags: np.ndarray, lens: np.ndarray):
+        """One wave: decisions for a batch of chunk fragments.
+
+        Returns (classified[R] bool, best_target[R] int).
+        """
+        t_base = t_retry = d_base = d_retry = None
+        if self.targets is not None:
+            counts = self.targets.counts(frags, lens)
+            thr_b = ci_and_threshold_batch(
+                lens, self.targets.kmer_size, self.error_rate, self.significance
+            )
+            thr_r = ci_and_threshold_batch(
+                lens, self.targets.kmer_size, self.error_rate - 0.02, self.significance
+            )
+            t_base = np.asarray(self.targets.max_counts(counts, thr_b))
+            t_retry = np.asarray(self.targets.max_counts(counts, thr_r))
+        if self.depletes is not None:
+            counts = self.depletes.counts(frags, lens)
+            thr_b = ci_and_threshold_batch(
+                lens, self.depletes.kmer_size, self.error_rate, self.significance
+            )
+            thr_r = ci_and_threshold_batch(
+                lens, self.depletes.kmer_size, self.error_rate - 0.02, self.significance
+            )
+            d_base = np.asarray(self.depletes.max_counts(counts, thr_b))
+            d_retry = np.asarray(self.depletes.max_counts(counts, thr_r))
+        return classify_decisions(t_base, d_base, t_retry, d_retry)
+
+    def classify_sequences(self, seqs: list[str]):
+        """Full chunk-wave classification of a list of sequences.
+
+        Returns (classified[N] bool, best_target[N] int, attempts[N] int).
+        Too-short filtering is the caller's concern.
+        """
+        n = len(seqs)
+        classified = np.zeros(n, dtype=bool)
+        best = np.full(n, -1, dtype=np.int64)
+        attempts = np.zeros(n, dtype=np.int64)
+        seq_lens = np.array([len(s) for s in seqs], dtype=np.int64)
+        cl = self.chunk_length
+        for i in range(self.max_chunks):
+            active = np.flatnonzero(~classified & (seq_lens > i * cl))
+            if active.size == 0:
+                break
+            for start in range(0, active.size, self.batch_size):
+                idx = active[start : start + self.batch_size]
+                frag_seqs = [seqs[j][i * cl : (i + 1) * cl] for j in idx]
+                frags, lens = encode_batch(frag_seqs, cl, batch=self.batch_size)
+                ok, b = self.classify_fragments(frags, lens)
+                ok = ok[: idx.size]
+                b = b[: idx.size]
+                classified[idx] |= ok
+                best[idx] = np.where(ok, b, best[idx])
+                attempts[idx] += 1
+        return classified, best, attempts
+
+
+def classify_read_files(
+    read_files: list[str | Path],
+    target_filters: list[IBFData],
+    deplete_filters: list[IBFData],
+    error_rate: float,
+    output_dir: str | Path,
+    significance: float = 0.95,
+    chunk_length: int = 250,
+    max_chunks: int = 5,
+    batch_size: int = 1024,
+    host_batch_reads: int = 8192,
+    verbose: bool = True,
+) -> ClassifyResults:
+    """Drive classification over read files, writing per-target FASTAs and
+    unclassified.fasta (reference: classify_reads, src/main/classify.hpp:142-380).
+    """
+    engine = ClassifyEngine(
+        target_filters,
+        deplete_filters,
+        error_rate,
+        significance,
+        chunk_length,
+        max_chunks,
+        batch_size,
+    )
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    results = ClassifyResults()
+    results.per_target = {name: 0 for name in engine.target_names}
+
+    target_writers = [
+        FastaWriter(output_dir / f"{name}.fasta") for name in engine.target_names
+    ]
+    unclassified = FastaWriter(output_dir / "unclassified.fasta")
+    t_start = time.monotonic()
+    try:
+        for read_file in read_files:
+            ids: list[str] = []
+            seqs: list[str] = []
+
+            def flush():
+                if not seqs:
+                    return
+                classified, best, _ = engine.classify_sequences(seqs)
+                for j in range(len(seqs)):
+                    if classified[j]:
+                        results.found += 1
+                        if best[j] >= 0:
+                            name = engine.target_names[best[j]]
+                            results.per_target[name] += 1
+                            target_writers[best[j]].write(ids[j], seqs[j])
+                    else:
+                        unclassified.write(ids[j], seqs[j])
+                ids.clear()
+                seqs.clear()
+
+            for rec in read_records(read_file):
+                results.read_counter += 1
+                if len(rec.seq) < chunk_length:
+                    results.too_short += 1
+                    continue
+                ids.append(rec.id)
+                seqs.append(rec.seq)
+                if len(seqs) >= host_batch_reads:
+                    flush()
+            flush()
+    finally:
+        for w in target_writers:
+            w.close()
+        unclassified.close()
+    elapsed = time.monotonic() - t_start
+    processed = results.read_counter - results.too_short
+    results.avg_classify_seconds = elapsed / processed if processed else 0.0
+    if verbose:
+        print(results.report(chunk_length))
+    return results

@@ -1,0 +1,207 @@
+"""TOML configuration — same schema as the reference.
+
+Mirrors ConfigReader (reference: src/config/configReader.cpp:59-439):
+top-level ``usage``/``output_directory``/``log_directory`` plus the
+``[IBF]``, ``[MinKNOW]`` and ``[Basecaller]`` tables with the reference's
+defaults.  ``create_log`` echoes the effective config like the
+reference's configLog.toml (src/config/configReader.cpp:98-200).
+
+Extra (TPU-rebuild) keys, all optional and defaulted, live in the
+``[TPU]`` table: batch sizes, replay source for the streaming harness,
+and mesh shape — surfacing the constants the reference hard-codes
+(SURVEY.md §5.6).
+"""
+
+from __future__ import annotations
+
+import tomllib
+from dataclasses import dataclass, field
+from pathlib import Path
+
+__all__ = ["IBFParamsConfig", "MinKNOWParams", "BasecallerParams", "TPUParams", "ConfigReader"]
+
+
+@dataclass
+class IBFParamsConfig:
+    """[IBF] table (reference: src/config/configReader.cpp:232-350)."""
+
+    kmer_size: int = 13
+    fragment_size: int = 100_000
+    threads: int = 1
+    error_rate: float = 0.1  # exp_seq_error_rate
+    chunk_length: int = 250
+    max_chunks: int = 5
+    target_files: list[Path] = field(default_factory=list)
+    deplete_files: list[Path] = field(default_factory=list)
+    read_files: list[Path] = field(default_factory=list)
+
+
+@dataclass
+class MinKNOWParams:
+    """[MinKNOW] table (reference: src/config/configReader.cpp:353-386)."""
+
+    host: str = "127.0.0.1"
+    port: str = "9501"
+    flowcell: str = ""
+    min_channel: int = 1
+    max_channel: int = 512
+    token_path: str = ""
+
+
+@dataclass
+class BasecallerParams:
+    """[Basecaller] table (reference: src/config/configReader.cpp:393-420)."""
+
+    caller: str = "DeepNano"
+    host: str = "127.0.0.1"
+    port: str = "5555"
+    threads: int = 3
+    config: str = "dna_r9.4.1_450bps_fast"
+    # TPU rebuild: which DeepNano-blitz net to load (48/56/64/80/96)
+    network: str = "48"
+    weights_dir: str = ""
+
+
+@dataclass
+class TPUParams:
+    """[TPU] table — rebuild-specific knobs (absent from the reference;
+    surfaces SURVEY.md §5.6 hard-coded constants as config)."""
+
+    batch_size: int = 1024
+    significance: float = 0.95
+    hash_functions: int = 3
+    max_fp: float = 0.01
+    break_reads_after_seconds: float = 0.4
+    action_pacing_seconds: float = 0.4
+    unblock_duration: float = 0.1
+    replay_file: str = ""  # signal source for the replay harness
+    mesh_shape: str = ""  # e.g. "data:4,bins:2"
+
+
+class ConfigReader:
+    """Parse + validate a ReadBouncer TOML config file."""
+
+    VALID_USAGES = ("build", "classify", "target", "test")
+
+    def __init__(self, config_file: str | Path):
+        self.config_file = Path(config_file)
+        with open(self.config_file, "rb") as f:
+            self._raw = tomllib.load(f)
+        self.usage: str = ""
+        self.output_dir: Path = Path(".")
+        self.log_dir: Path = Path(".")
+        self.ibf = IBFParamsConfig()
+        self.minknow = MinKNOWParams()
+        self.basecaller = BasecallerParams()
+        self.tpu = TPUParams()
+
+    # -- parsing ---------------------------------------------------------
+    def parse_general(self) -> None:
+        """reference: src/config/configReader.cpp:59-90."""
+        try:
+            self.usage = str(self._raw["usage"])
+        except KeyError as e:
+            raise KeyError("config file must set 'usage'") from e
+        if self.usage not in self.VALID_USAGES:
+            raise ValueError(
+                f"usage must be one of {self.VALID_USAGES}, got {self.usage!r}"
+            )
+        self.output_dir = Path(self._raw.get("output_directory", "."))
+        self.log_dir = Path(self._raw.get("log_directory", "."))
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+
+    def read_ibf(self) -> None:
+        """reference: src/config/configReader.cpp:232-350."""
+        t = self._raw.get("IBF", {})
+        self.ibf.kmer_size = int(t.get("kmer_size", 13))
+        self.ibf.fragment_size = int(t.get("fragment_size", 100_000))
+        self.ibf.threads = int(t.get("threads", 1))
+        self.ibf.error_rate = float(t.get("exp_seq_error_rate", 0.1))
+        self.ibf.chunk_length = int(t.get("chunk_length", 250))
+        self.ibf.max_chunks = int(t.get("max_chunks", 5))
+        self.ibf.target_files = [Path(p) for p in t.get("target_files", [])]
+        self.ibf.deplete_files = [Path(p) for p in t.get("deplete_files", [])]
+        rf = t.get("read_files", [])
+        self.ibf.read_files = [Path(p) for p in rf]
+        if self.usage != "test":
+            if not self.ibf.target_files and not self.ibf.deplete_files:
+                raise ValueError(
+                    "at least one of IBF.target_files / IBF.deplete_files is required"
+                )
+        if self.usage == "classify" and not self.ibf.read_files:
+            raise ValueError("classify usage requires IBF.read_files")
+
+    def read_minknow(self) -> None:
+        """reference: src/config/configReader.cpp:353-386."""
+        t = self._raw.get("MinKNOW", {})
+        self.minknow.flowcell = str(t.get("flowcell", ""))
+        self.minknow.host = str(t.get("host", "127.0.0.1"))
+        self.minknow.port = str(t.get("port", "9501"))
+        self.minknow.token_path = str(t.get("token_path", ""))
+        channels = t.get("channels", [])
+        if len(channels) == 2:
+            self.minknow.min_channel = int(channels[0])
+            self.minknow.max_channel = int(channels[1])
+
+    def read_basecaller(self) -> None:
+        """reference: src/config/configReader.cpp:393-420."""
+        t = self._raw.get("Basecaller", {})
+        self.basecaller.caller = str(t.get("caller", "DeepNano"))
+        self.basecaller.host = str(t.get("host", "127.0.0.1"))
+        self.basecaller.port = str(t.get("port", "5555"))
+        self.basecaller.threads = int(t.get("threads", 3))
+        self.basecaller.config = str(t.get("config", "dna_r9.4.1_450bps_fast"))
+        self.basecaller.network = str(t.get("network", "48"))
+        self.basecaller.weights_dir = str(t.get("weights_dir", ""))
+
+    def read_tpu(self) -> None:
+        t = self._raw.get("TPU", {})
+        for name in vars(self.tpu):
+            if name in t:
+                cur = getattr(self.tpu, name)
+                setattr(self.tpu, name, type(cur)(t[name]))
+
+    def parse(self) -> "ConfigReader":
+        self.parse_general()
+        self.read_ibf()
+        if self.usage in ("target", "test"):
+            self.read_minknow()
+            self.read_basecaller()
+        self.read_tpu()
+        return self
+
+    # -- effective-config echo ------------------------------------------
+    def create_log(self) -> Path:
+        """Write configLog.toml with the effective settings
+        (reference: src/config/configReader.cpp:98-200)."""
+        out = self.log_dir / "configLog.toml"
+        lines = [
+            f'usage = "{self.usage}"',
+            f'output_directory = "{self.output_dir}"',
+            f'log_directory = "{self.log_dir}"',
+            "",
+            "[IBF]",
+            f"kmer_size = {self.ibf.kmer_size}",
+            f"fragment_size = {self.ibf.fragment_size}",
+            f"threads = {self.ibf.threads}",
+            f"exp_seq_error_rate = {self.ibf.error_rate}",
+            f"chunk_length = {self.ibf.chunk_length}",
+            f"max_chunks = {self.ibf.max_chunks}",
+            f"target_files = {[str(p) for p in self.ibf.target_files]!r}",
+            f"deplete_files = {[str(p) for p in self.ibf.deplete_files]!r}",
+            f"read_files = {[str(p) for p in self.ibf.read_files]!r}",
+            "",
+            "[MinKNOW]",
+            f'host = "{self.minknow.host}"',
+            f'port = "{self.minknow.port}"',
+            f'flowcell = "{self.minknow.flowcell}"',
+            f"channels = [{self.minknow.min_channel}, {self.minknow.max_channel}]",
+            "",
+            "[Basecaller]",
+            f'caller = "{self.basecaller.caller}"',
+            f"threads = {self.basecaller.threads}",
+            f'network = "{self.basecaller.network}"',
+        ]
+        out.write_text("\n".join(lines) + "\n")
+        return out

@@ -1,0 +1,124 @@
+"""k-mer encoding and Bloom hashing — the "rbt1" hash scheme.
+
+The reference delegates k-mer hashing to its pinned SeqAn fork (not part
+of the reference tree; see SURVEY.md §7 Hard Parts #1).  That scheme is
+built on 64-bit multiplies, which TPUs do not execute natively.  We
+therefore define our own documented, versioned scheme ("rbt1") that is
+
+* **all-uint32** — every op maps to native TPU VPU instructions,
+* **semantically equivalent** — N is a 5th symbol like the reference's
+  Dna5 alphabet, every window is counted (including N-containing ones),
+  forward and reverse-complement strands are two separate query passes
+  merged per bin exactly like seqan::count fwd + revcomp
+  (reference: src/IBF/IBFClassify.cpp:97-98,149-150),
+* **count-equivalent at the reference's sizing** — with max_fp=0.01 the
+  per-bin Bloom counts equal exact k-mer containment counts up to
+  O(max_fp) noise, so classification decisions match the reference's for
+  any well-distributed hash family (validated against an exact-count
+  oracle in tests/test_query.py).
+
+Scheme definition (version "rbt1"):
+
+* base encoding (Dna5 ordValue): A=0, C=1, G=2, T=3, everything else=4.
+* forward k-mer code of window j:   sum_t base[j+t] * 5^(k-1-t)  mod 2^32
+* revcomp k-mer code of window j:   sum_t comp(base[j+t]) * 5^t  mod 2^32
+  (equal to the forward code of the reverse-complemented window, so
+  counting rc codes over forward windows == counting fwd codes over the
+  reverse-complemented read; comp(b) = 3-b for b<4 else 4)
+* Bloom hash i (i < h):  z = code * SEED[i]; z = fmix32(z);
+  row = (z * rows) >> 32      (Lemire fastrange, 32x32->hi32)
+* bit position of (row, bin):  word = row*W + bin//32, bit = bin % 32
+  where W = padded_bins/32 — bin-interleaved like the reference layout
+  (64-bin-padded rows; reference: src/IBF/IBFBuild.cpp:407).
+
+fmix32 is the MurmurHash3 finalizer.  SEED[i] are odd 32-bit constants
+(xxhash primes), so code -> z is a bijection per hash function.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "HASH_SCHEME",
+    "SEEDS",
+    "encode_bases",
+    "complement",
+    "kmer_codes_np",
+    "hash_rows_np",
+    "POW5",
+]
+
+HASH_SCHEME = "rbt1"
+
+# xxhash 32-bit primes + two more odd constants; index = hash function id.
+SEEDS = np.array(
+    [0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F, 0x165667B1],
+    dtype=np.uint32,
+)
+
+# 5^i mod 2^32 for i in [0, 16)
+POW5 = np.array([pow(5, i, 1 << 32) for i in range(16)], dtype=np.uint32)
+
+_BASE_LUT = np.full(256, 4, dtype=np.uint8)
+for _i, _c in enumerate(b"ACGT"):
+    _BASE_LUT[_c] = _i
+for _i, _c in enumerate(b"acgt"):
+    _BASE_LUT[_c] = _i
+
+
+def encode_bases(seq: bytes | str | np.ndarray) -> np.ndarray:
+    """ASCII sequence -> uint8 ordValues (A=0 C=1 G=2 T=3 other=4)."""
+    if isinstance(seq, str):
+        seq = seq.encode("ascii")
+    arr = np.frombuffer(bytes(seq), dtype=np.uint8) if not isinstance(seq, np.ndarray) else seq
+    return _BASE_LUT[arr]
+
+
+def complement(bases: np.ndarray) -> np.ndarray:
+    """Dna5 complement of encoded bases: 3-b for ACGT, N stays N."""
+    return np.where(bases < 4, 3 - bases, np.uint8(4)).astype(np.uint8)
+
+
+def kmer_codes_np(bases: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(fwd, rc) uint32 k-mer codes for every window of an encoded read.
+
+    Returns two arrays of length ``len(bases) - k + 1`` (empty if the read
+    is shorter than k).
+    """
+    bases = np.asarray(bases, dtype=np.uint32)
+    n = bases.shape[0] - k + 1
+    if n <= 0:
+        return (np.zeros(0, dtype=np.uint32), np.zeros(0, dtype=np.uint32))
+    comp = np.where(bases < 4, 3 - bases, np.uint32(4))
+    fwd = np.zeros(n, dtype=np.uint32)
+    rc = np.zeros(n, dtype=np.uint32)
+    for t in range(k):
+        fwd += bases[t : t + n] * POW5[k - 1 - t]
+        rc += comp[t : t + n] * POW5[t]
+    return fwd, rc
+
+
+def _fmix32(z: np.ndarray) -> np.ndarray:
+    z = z.astype(np.uint32)
+    z ^= z >> np.uint32(16)
+    z *= np.uint32(0x85EBCA6B)
+    z ^= z >> np.uint32(13)
+    z *= np.uint32(0xC2B2AE35)
+    z ^= z >> np.uint32(16)
+    return z
+
+
+def hash_rows_np(codes: np.ndarray, hash_functions: int, rows: int) -> np.ndarray:
+    """uint32 row indices, shape ``codes.shape + (hash_functions,)``.
+
+    row_i = fastrange32(fmix32(code * SEED[i]), rows)
+    """
+    codes = np.asarray(codes, dtype=np.uint32)
+    out = np.empty(codes.shape + (hash_functions,), dtype=np.uint32)
+    for i in range(hash_functions):
+        z = _fmix32(codes * SEEDS[i])
+        out[..., i] = ((z.astype(np.uint64) * np.uint64(rows)) >> np.uint64(32)).astype(
+            np.uint32
+        )
+    return out

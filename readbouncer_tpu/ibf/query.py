@@ -1,0 +1,224 @@
+"""Batched IBF query on device (XLA path).
+
+One jitted program computes, for a padded batch of encoded reads, the
+per-bin k-mer match counts against a stack of filters, for forward and
+reverse-complement strands, and reduces them to per-filter maximum
+matched counts under a per-read threshold:
+
+    reads [R, L] u8 -> k-mer codes [R, 2, Wn] u32      (k shifted MACs)
+                    -> hash rows  [R, 2, Wn, h] u32    (fmix32 + fastrange)
+                    -> row gather -> AND over h        (Bloom membership)
+                    -> per-bin popcount-accumulate     -> counts [R, 2, B]
+                    -> threshold + segment max         -> max_counts [R, F]
+
+Everything is uint32; there is no 64-bit arithmetic anywhere (TPUs have
+no native u64).  The semantics mirror seqan::count + max_matches
+(reference: src/IBF/IBFClassify.cpp:97-98,48-71): a bin's count is the
+number of read windows whose k-mer is present in the bin (all h bits
+set); a bin "matches" when its forward OR revcomp count reaches the
+threshold; the per-filter result is the max over matching bins of
+max(fwd, rc).
+
+A Pallas kernel (ops/ibf_query_pallas.py) implements the same
+counts-contract for VMEM-resident filters; this XLA path is the
+reference implementation and the fallback for any size.
+
+Key performance choice: counts are *independent of error_rate*, so the
+reference's "-0.02 retry" (a full second count pass in C++,
+src/main/classify.hpp:67-69) is a free re-threshold here — the engine
+evaluates both thresholds against one counts pass with identical
+decisions.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from readbouncer_tpu.ibf.hashing import SEEDS
+from readbouncer_tpu.ibf.storage import IBFData
+
+__all__ = ["umulhi_u32", "fmix32_jnp", "kmer_codes_jnp", "FilterStack"]
+
+
+def umulhi_u32(a: jnp.ndarray, b: jnp.ndarray | int) -> jnp.ndarray:
+    """High 32 bits of a 32x32 unsigned multiply, via 16-bit limbs."""
+    a = a.astype(jnp.uint32)
+    b = jnp.asarray(b, dtype=jnp.uint32)
+    mask = jnp.uint32(0xFFFF)
+    al, ah = a & mask, a >> 16
+    bl, bh = b & mask, b >> 16
+    ll = al * bl
+    lh = al * bh
+    hl = ah * bl
+    hh = ah * bh
+    t = (ll >> 16) + (lh & mask) + (hl & mask)
+    return hh + (lh >> 16) + (hl >> 16) + (t >> 16)
+
+
+def fmix32_jnp(z: jnp.ndarray) -> jnp.ndarray:
+    """MurmurHash3 finalizer (matches hashing._fmix32)."""
+    z = z.astype(jnp.uint32)
+    z = z ^ (z >> 16)
+    z = z * jnp.uint32(0x85EBCA6B)
+    z = z ^ (z >> 13)
+    z = z * jnp.uint32(0xC2B2AE35)
+    z = z ^ (z >> 16)
+    return z
+
+
+def kmer_codes_jnp(reads: jnp.ndarray, k: int) -> jnp.ndarray:
+    """(fwd, rc) base-5 window codes for a padded read batch.
+
+    reads: [R, L] uint8 in {0..4} (padding value irrelevant — callers
+    mask windows by length).  Returns uint32 [R, 2, L-k+1]; axis 1 is
+    strand (0=fwd, 1=revcomp).
+    """
+    from readbouncer_tpu.ibf.hashing import POW5
+
+    b = reads.astype(jnp.uint32)
+    comp = jnp.where(b < 4, 3 - b, jnp.uint32(4))
+    n = reads.shape[1] - k + 1
+    fwd = jnp.zeros((reads.shape[0], n), dtype=jnp.uint32)
+    rc = jnp.zeros((reads.shape[0], n), dtype=jnp.uint32)
+    for t in range(k):
+        fwd = fwd + b[:, t : t + n] * jnp.uint32(int(POW5[k - 1 - t]))
+        rc = rc + comp[:, t : t + n] * jnp.uint32(int(POW5[t]))
+    return jnp.stack([fwd, rc], axis=1)
+
+
+@dataclass(frozen=True)
+class FilterSegment:
+    """One filter's bin range inside a stacked bits matrix."""
+
+    name: str
+    bin_offset: int  # multiple of 64
+    num_bins: int  # declared bins (max_matches scans only these)
+    padded_bins: int
+
+
+class FilterStack:
+    """A set of compatible filters concatenated on the bin axis.
+
+    Filters must share (kmer_size, hash_functions, rows).  Each filter
+    keeps its own 64-padded bin block, so word offsets stay aligned; the
+    reference's per-filter std::async fan-out
+    (src/IBF/IBFClassify.cpp:256-259) becomes one batched device program
+    over the concatenated bin axis.
+    """
+
+    def __init__(self, filters: list[IBFData], interpret: bool = False):
+        if not filters:
+            raise ValueError("FilterStack needs at least one filter")
+        k = filters[0].kmer_size
+        h = filters[0].hash_functions
+        rows = filters[0].rows
+        for f in filters:
+            if (f.kmer_size, f.hash_functions, f.rows) != (k, h, rows):
+                raise ValueError(
+                    "all filters in a stack must share kmer_size/hash_functions/rows; "
+                    f"got {(f.kmer_size, f.hash_functions, f.rows)} vs {(k, h, rows)}"
+                )
+        self.kmer_size = k
+        self.hash_functions = h
+        self.rows = rows
+        self.interpret = interpret
+        self.segments: list[FilterSegment] = []
+        off = 0
+        mats = []
+        for f in filters:
+            self.segments.append(
+                FilterSegment(f.name, off, f.num_bins, f.padded_bins)
+            )
+            off += f.padded_bins
+            mats.append(f.bits)
+        self.total_bins = off
+        self.words = off // 32
+        bits_np = np.concatenate(mats, axis=1)
+        self.bits = jax.device_put(bits_np)
+        # mask of scannable bins: within each segment, bins < declared
+        bmask = np.zeros(self.total_bins, dtype=bool)
+        for s in self.segments:
+            bmask[s.bin_offset : s.bin_offset + s.num_bins] = True
+        self.bin_mask = jax.device_put(bmask)
+        self._counts_fn = jax.jit(
+            functools.partial(_counts_impl, k=k, h=h, rows=rows),
+            static_argnames=(),
+        )
+        seg_spec = tuple((s.bin_offset, s.padded_bins) for s in self.segments)
+        self._max_fn = jax.jit(functools.partial(_max_counts_impl, segments=seg_spec))
+
+    @property
+    def num_filters(self) -> int:
+        return len(self.segments)
+
+    def counts(self, reads: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+        """Per-bin match counts, int32 [R, 2, total_bins]."""
+        return self._counts_fn(self.bits, jnp.asarray(reads), jnp.asarray(lengths))
+
+    def max_counts(
+        self, counts: jnp.ndarray, thresholds: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Per-filter max matched count, int32 [R, F].
+
+        thresholds: uint32 [R] effective per-read uint16-wrapped
+        thresholds (classify.math.ci_and_threshold_batch).
+        """
+        return self._max_fn(counts, jnp.asarray(thresholds), self.bin_mask)
+
+
+def _counts_impl(
+    bits: jnp.ndarray,  # u32 [rows, W]
+    reads: jnp.ndarray,  # u8  [R, L]
+    lengths: jnp.ndarray,  # i32 [R]
+    *,
+    k: int,
+    h: int,
+    rows: int,
+) -> jnp.ndarray:
+    R, L = reads.shape
+    W = bits.shape[1]
+    n = L - k + 1
+    codes = kmer_codes_jnp(reads, k)  # [R, 2, n]
+    win_valid = (
+        jnp.arange(n, dtype=jnp.int32)[None, :] < (lengths[:, None] - (k - 1))
+    )  # [R, n]
+
+    # hash all windows for all strands & hash functions
+    rows_u32 = jnp.uint32(rows)
+    anded = None
+    for i in range(h):
+        z = fmix32_jnp(codes * jnp.uint32(int(SEEDS[i])))
+        ridx = umulhi_u32(z, rows_u32).astype(jnp.int32)  # [R, 2, n]
+        g = jnp.take(bits, ridx, axis=0)  # [R, 2, n, W]
+        anded = g if anded is None else (anded & g)
+
+    # per-bin popcount accumulate over valid windows
+    # expand words to bins: [R, 2, n, W] -> [R, 2, n, W, 32] -> sum over n
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bitsel = (anded[..., None] >> shifts) & jnp.uint32(1)  # [R, 2, n, W, 32]
+    bitsel = bitsel.astype(jnp.int32) * win_valid[:, None, :, None, None]
+    counts = jnp.sum(bitsel, axis=2)  # [R, 2, W, 32]
+    return counts.reshape(R, 2, W * 32)
+
+
+def _max_counts_impl(
+    counts: jnp.ndarray,  # i32 [R, 2, B]
+    thresholds: jnp.ndarray,  # u32 [R]
+    bin_mask: jnp.ndarray,  # bool [B]
+    *,
+    segments: tuple[tuple[int, int], ...],
+) -> jnp.ndarray:
+    thr = thresholds.astype(jnp.int32)[:, None]  # [R, 1]; in [0, 65535]
+    fwd = counts[:, 0, :]
+    rc = counts[:, 1, :]
+    matched = ((fwd >= thr) | (rc >= thr)) & bin_mask[None, :]
+    cand = jnp.where(matched, jnp.maximum(fwd, rc), 0)  # [R, B]
+    outs = []
+    for off, padded in segments:
+        outs.append(jnp.max(cand[:, off : off + padded], axis=1))
+    return jnp.stack(outs, axis=1)  # [R, F]
