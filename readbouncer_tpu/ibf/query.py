@@ -32,7 +32,6 @@ decisions.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax
@@ -145,20 +144,26 @@ class FilterStack:
         for s in self.segments:
             bmask[s.bin_offset : s.bin_offset + s.num_bins] = True
         self.bin_mask = jax.device_put(bmask)
-        self._counts_fn = jax.jit(
-            functools.partial(_counts_impl, k=k, h=h, rows=rows),
-            static_argnames=(),
-        )
-        seg_spec = tuple((s.bin_offset, s.padded_bins) for s in self.segments)
-        self._max_fn = jax.jit(functools.partial(_max_counts_impl, segments=seg_spec))
+        self._seg_spec = tuple((s.bin_offset, s.padded_bins) for s in self.segments)
 
     @property
     def num_filters(self) -> int:
         return len(self.segments)
 
     def counts(self, reads: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
-        """Per-bin match counts, int32 [R, 2, total_bins]."""
-        return self._counts_fn(self.bits, jnp.asarray(reads), jnp.asarray(lengths))
+        """Per-bin match counts, int32 [R, 2, total_bins].
+
+        Jitted at module level with static (k, h, rows) so stacks with the
+        same geometry and batch shape share one compiled program.
+        """
+        return _counts_jit(
+            self.bits,
+            jnp.asarray(reads),
+            jnp.asarray(lengths),
+            k=self.kmer_size,
+            h=self.hash_functions,
+            rows=self.rows,
+        )
 
     def max_counts(
         self, counts: jnp.ndarray, thresholds: jnp.ndarray
@@ -168,7 +173,12 @@ class FilterStack:
         thresholds: uint32 [R] effective per-read uint16-wrapped
         thresholds (classify.math.ci_and_threshold_batch).
         """
-        return self._max_fn(counts, jnp.asarray(thresholds), self.bin_mask)
+        return _max_counts_jit(
+            counts, jnp.asarray(thresholds), self.bin_mask, segments=self._seg_spec
+        )
+
+
+_WINDOW_CHUNK = 128  # windows per scan step: bounds graph size and memory
 
 
 def _counts_impl(
@@ -184,25 +194,33 @@ def _counts_impl(
     W = bits.shape[1]
     n = L - k + 1
     codes = kmer_codes_jnp(reads, k)  # [R, 2, n]
-    win_valid = (
-        jnp.arange(n, dtype=jnp.int32)[None, :] < (lengths[:, None] - (k - 1))
-    )  # [R, n]
+    n_valid = jnp.maximum(lengths - (k - 1), 0)  # [R]
 
-    # hash all windows for all strands & hash functions
+    wc = min(_WINDOW_CHUNK, n)
+    n_pad = -(-n // wc) * wc
+    codes = jnp.pad(codes, ((0, 0), (0, 0), (0, n_pad - n)))
+    # [steps, R, 2, wc]
+    codes = jnp.moveaxis(codes.reshape(R, 2, n_pad // wc, wc), 2, 0)
     rows_u32 = jnp.uint32(rows)
-    anded = None
-    for i in range(h):
-        z = fmix32_jnp(codes * jnp.uint32(int(SEEDS[i])))
-        ridx = umulhi_u32(z, rows_u32).astype(jnp.int32)  # [R, 2, n]
-        g = jnp.take(bits, ridx, axis=0)  # [R, 2, n, W]
-        anded = g if anded is None else (anded & g)
-
-    # per-bin popcount accumulate over valid windows
-    # expand words to bins: [R, 2, n, W] -> [R, 2, n, W, 32] -> sum over n
     shifts = jnp.arange(32, dtype=jnp.uint32)
-    bitsel = (anded[..., None] >> shifts) & jnp.uint32(1)  # [R, 2, n, W, 32]
-    bitsel = bitsel.astype(jnp.int32) * win_valid[:, None, :, None, None]
-    counts = jnp.sum(bitsel, axis=2)  # [R, 2, W, 32]
+
+    def step(acc, inp):
+        codes_c, base = inp  # [R, 2, wc], scalar window offset
+        anded = None
+        for i in range(h):
+            z = fmix32_jnp(codes_c * jnp.uint32(int(SEEDS[i])))
+            ridx = umulhi_u32(z, rows_u32).astype(jnp.int32)
+            g = jnp.take(bits, ridx, axis=0)  # [R, 2, wc, W]
+            anded = g if anded is None else (anded & g)
+        win_idx = base + jnp.arange(wc, dtype=jnp.int32)  # [wc]
+        valid = win_idx[None, :] < n_valid[:, None]  # [R, wc]
+        bitsel = (anded[..., None] >> shifts) & jnp.uint32(1)  # [R, 2, wc, W, 32]
+        bitsel = bitsel.astype(jnp.int32) * valid[:, None, :, None, None]
+        return acc + jnp.sum(bitsel, axis=2), None
+
+    bases = jnp.arange(n_pad // wc, dtype=jnp.int32) * wc
+    acc0 = jnp.zeros((R, 2, W, 32), dtype=jnp.int32)
+    counts, _ = jax.lax.scan(step, acc0, (codes, bases))
     return counts.reshape(R, 2, W * 32)
 
 
@@ -222,3 +240,7 @@ def _max_counts_impl(
     for off, padded in segments:
         outs.append(jnp.max(cand[:, off : off + padded], axis=1))
     return jnp.stack(outs, axis=1)  # [R, F]
+
+
+_counts_jit = jax.jit(_counts_impl, static_argnames=("k", "h", "rows"))
+_max_counts_jit = jax.jit(_max_counts_impl, static_argnames=("segments",))

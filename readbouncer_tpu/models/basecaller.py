@@ -1,0 +1,79 @@
+"""Batched basecaller service over the GRU model.
+
+Keeps the reference's ``Basecaller`` interface shape (abstract
+basecall_live_reads, src/basecaller/Basecaller.hpp:21-28) so a remote
+basecaller could be slotted in, but the native implementation is the
+on-chip JAX GRU: signals are framed on the host, batched to fixed
+[B, T] shapes, run through one jitted forward, and CTC-decoded.
+
+The reference's "short result" handling (basecalled chunks under 250 bp
+are parked and concatenated with the read's next chunk,
+src/basecaller/DeepNano/DeepNanoBasecaller.cpp:52-97) lives in the live
+scheduler (stream/), not here — this class is a pure
+signal-batch -> sequences function.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from readbouncer_tpu.models.ctc import beam_search_decode, greedy_decode
+from readbouncer_tpu.models.gru import GRUBasecallerModel, frame_signal, med_mad_normalize
+from readbouncer_tpu.models.weights import default_weights_path, load_deepnano_weights
+
+__all__ = ["Basecaller", "GRUBasecaller"]
+
+
+class Basecaller:
+    """Abstract surface (reference: src/basecaller/Basecaller.hpp:21-28)."""
+
+    def basecall(self, signals: list[np.ndarray]) -> list[str]:
+        raise NotImplementedError
+
+
+@dataclass
+class GRUBasecaller(Basecaller):
+    network: str = "48"
+    weights_dir: str = ""
+    frame_stride: int = 5
+    max_frames: int = 2048  # static T of the compiled program
+    decoder: str = "greedy"  # or "beam"
+    beam_size: int = 5
+    beam_cut_threshold: float = 0.01
+
+    def __post_init__(self):
+        w = load_deepnano_weights(default_weights_path(self.network, self.weights_dir))
+        self.model = GRUBasecallerModel(w, frame_stride=self.frame_stride)
+
+    def frames_for(self, signal: np.ndarray) -> np.ndarray:
+        return frame_signal(
+            med_mad_normalize(signal),
+            window=self.model.window,
+            stride=self.frame_stride,
+            max_frames=self.max_frames,
+        )
+
+    def basecall(self, signals: list[np.ndarray]) -> list[str]:
+        """Raw current signals -> basecalled sequences (batched)."""
+        if not signals:
+            return []
+        framed = [self.frames_for(s) for s in signals]
+        T = self.max_frames
+        B = len(framed)
+        batch = np.zeros((B, T, self.model.window), dtype=np.float32)
+        lens = np.zeros(B, dtype=np.int32)
+        for i, f in enumerate(framed):
+            n = min(f.shape[0], T)
+            batch[i, :n] = f[:n]
+            lens[i] = n
+        logits = np.asarray(self.model.logits(batch))
+        if self.decoder == "beam":
+            return [
+                beam_search_decode(
+                    logits[i], self.beam_size, self.beam_cut_threshold, int(lens[i])
+                )
+                for i in range(B)
+            ]
+        return greedy_decode(logits, lens)

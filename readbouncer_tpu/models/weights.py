@@ -1,0 +1,125 @@
+"""DeepNano-blitz weight-file parser.
+
+The reference ships five GRU nets as text files
+(reference: src/weights/rnn{48,56,64,80,96}.txt, consumed through the
+prebuilt Rust deepnano2 library's C ABI —
+src/basecaller/DeepNano/DeepNano2.h:8-36).  Each file is 52
+(dims-line, values-line) pairs:
+
+    [66 x H] [H]                      input projection W, b
+    4 x {                             4 stacked GRU layers
+        [H x H] [H x H] [H] [H]       z-gate:  Wz, Rz, biz, bhz
+        [H x H] [H x H] [H x H] [H x H]   r/n-gates: Wr, Rr, Wn, Rn
+        [H] [H] [H] [H]               bir, bhr, bin, bhn
+    }
+    [H x 5] [5]                       CTC head (blank + ACGT)
+
+The gate grouping (one gate with 2 matrices + 2 biases, then two gates
+with 4 matrices + 4 biases) matches the CuDNN/reset_after GRU form; the
+z/r/n assignment is our documented interpretation of the (source-less)
+prebuilt library — see docs/BASECALLER.md.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+__all__ = ["GRUWeights", "GRULayerWeights", "load_deepnano_weights", "default_weights_path"]
+
+
+@dataclass
+class GRULayerWeights:
+    wz: np.ndarray  # [H, H]
+    rz: np.ndarray  # [H, H]
+    biz: np.ndarray  # [H]
+    bhz: np.ndarray  # [H]
+    wr: np.ndarray  # [H, H]
+    rr: np.ndarray  # [H, H]
+    wn: np.ndarray  # [H, H]
+    rn: np.ndarray  # [H, H]
+    bir: np.ndarray  # [H]
+    bhr: np.ndarray  # [H]
+    bin_: np.ndarray  # [H]
+    bhn: np.ndarray  # [H]
+
+
+@dataclass
+class GRUWeights:
+    w_in: np.ndarray  # [66, H]
+    b_in: np.ndarray  # [H]
+    layers: list[GRULayerWeights]
+    w_out: np.ndarray  # [H, 5]
+    b_out: np.ndarray  # [5]
+
+    @property
+    def hidden(self) -> int:
+        return int(self.w_in.shape[1])
+
+    @property
+    def input_features(self) -> int:
+        return int(self.w_in.shape[0])
+
+
+def _read_tensors(path: Path) -> list[np.ndarray]:
+    tensors = []
+    with open(path) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    i = 0
+    while i < len(lines):
+        dims = [int(x) for x in lines[i].split()]
+        vals = np.fromiter(lines[i + 1].split(), dtype=np.float64)
+        want = int(np.prod(dims))
+        if vals.size != want:
+            raise ValueError(
+                f"{path}: tensor {len(tensors)}: expected {want} values for dims {dims}, got {vals.size}"
+            )
+        tensors.append(vals.reshape(dims).astype(np.float32))
+        i += 2
+    return tensors
+
+
+def load_deepnano_weights(path: str | Path) -> GRUWeights:
+    path = Path(path)
+    t = _read_tensors(path)
+    if len(t) != 52:
+        raise ValueError(f"{path}: expected 52 tensors, got {len(t)}")
+    w_in, b_in = t[0], t[1]
+    H = w_in.shape[1]
+    layers = []
+    idx = 2
+    for _ in range(4):
+        wz, rz, biz, bhz = t[idx : idx + 4]
+        wr, rr, wn, rn = t[idx + 4 : idx + 8]
+        bir, bhr, bin_, bhn = t[idx + 8 : idx + 12]
+        for m in (wz, rz, wr, rr, wn, rn):
+            assert m.shape == (H, H), m.shape
+        layers.append(
+            GRULayerWeights(wz, rz, biz, bhz, wr, rr, wn, rn, bir, bhr, bin_, bhn)
+        )
+        idx += 12
+    w_out, b_out = t[idx], t[idx + 1]
+    assert w_out.shape == (H, 5), w_out.shape
+    return GRUWeights(w_in, b_in, layers, w_out, b_out)
+
+
+def default_weights_path(network: str = "48", weights_dir: str | Path = "") -> Path:
+    """Locate rnn<network>.txt: explicit dir, repo data/, or the reference tree.
+
+    Mirrors the reference's <root>/data/rnn48.txt lookup
+    (src/main/adaptive_sampling.hpp:561-572).
+    """
+    candidates = []
+    if weights_dir:
+        candidates.append(Path(weights_dir) / f"rnn{network}.txt")
+    here = Path(__file__).resolve().parent.parent.parent
+    candidates.append(here / "data" / f"rnn{network}.txt")
+    candidates.append(Path(f"/root/reference/src/weights/rnn{network}.txt"))
+    for c in candidates:
+        if c.exists():
+            return c
+    raise FileNotFoundError(
+        f"rnn{network}.txt not found in any of: {[str(c) for c in candidates]}"
+    )

@@ -1,0 +1,219 @@
+"""Replayed-signal streaming harness — the MinKNOW stand-in.
+
+Replaces the reference's gRPC bidirectional stream to a live sequencer
+(readuntil::Data, src/minknow/Data.cpp:291-436) with a deterministic
+replay source that honors the same protocol contract:
+
+* signal chunks are emitted per channel every ``break_reads_after_seconds``
+  (0.4 s; src/main/adaptive_sampling.hpp:633-634) — in replay "ticks",
+  with optional wall-clock pacing for latency benchmarking,
+* an ``unblock`` action ejects the read from its channel after the
+  0.1 s voltage-flip (src/minknow/Data.cpp:171): remaining chunks are
+  dropped and the channel starts its next read,
+* a ``stop_receiving_data`` action keeps the read sequencing but stops
+  streaming its chunks (MinKNOW semantics of stop_further_data),
+* channels are 1..512 (src/minknow/Data.cpp:299-321).
+
+Signal synthesis: reads are drawn from a FASTA (or generated), converted
+to a squiggle with a simple pore model (per-base Gaussian current levels,
+``samples_per_base`` dwell, noise) — enough to exercise the full
+basecall->classify->action loop deterministically.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+from readbouncer_tpu.fastio.fasta import read_records
+
+__all__ = [
+    "SignalChunk",
+    "ReplayRead",
+    "ReplaySource",
+    "sequence_to_signal",
+    "NearestLevelBasecaller",
+]
+
+# idealized pore current levels per base (pA), loosely r9.4.1-shaped
+_BASE_LEVELS = {"A": 80.0, "C": 95.0, "G": 110.0, "T": 125.0, "N": 100.0}
+
+
+def sequence_to_signal(
+    seq: str,
+    samples_per_base: int = 9,
+    noise: float = 2.0,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """Simple squiggle synthesis: per-base level + Gaussian noise."""
+    rng = rng or np.random.default_rng(0)
+    levels = np.array([_BASE_LEVELS.get(c, 100.0) for c in seq], dtype=np.float32)
+    sig = np.repeat(levels, samples_per_base)
+    return sig + rng.normal(0.0, noise, sig.shape[0]).astype(np.float32)
+
+
+class NearestLevelBasecaller:
+    """Oracle basecaller for the synthetic pore model.
+
+    Inverts :func:`sequence_to_signal` by nearest-level classification
+    plus per-base majority vote — exact for the synthesis noise levels.
+    Used to exercise the live pipeline deterministically (scheduler /
+    state-machine / action tests) independent of GRU accuracy, and as
+    the upper-bound reference when scoring the GRU basecaller.
+    """
+
+    def __init__(self, samples_per_base: int = 9):
+        self.samples_per_base = samples_per_base
+        self._bases = np.array(list("ACGT"))
+        self._levels = np.array([_BASE_LEVELS[b] for b in "ACGT"], dtype=np.float32)
+
+    def basecall(self, signals: list[np.ndarray]) -> list[str]:
+        out = []
+        for sig in signals:
+            n = sig.shape[0] // self.samples_per_base
+            if n == 0:
+                out.append("")
+                continue
+            s = sig[: n * self.samples_per_base].reshape(n, self.samples_per_base)
+            ids = np.abs(s[:, :, None] - self._levels).argmin(-1)  # [n, spb]
+            maj = np.apply_along_axis(lambda r: np.bincount(r, minlength=4).argmax(), 1, ids)
+            out.append("".join(self._bases[maj]))
+        return out
+
+
+@dataclass
+class SignalChunk:
+    channel: int
+    read_number: int
+    read_id: str
+    signal: np.ndarray  # float32 raw samples for this 0.4 s window
+    chunk_index: int
+
+
+@dataclass
+class ReplayRead:
+    read_id: str
+    signal: np.ndarray
+    true_seq: str = ""
+    emitted: int = 0  # samples streamed so far
+    number: int = 0
+    unblocked: bool = False
+    stopped: bool = False  # stop_receiving: sequencing continues silently
+
+
+@dataclass
+class ReplaySource:
+    """Deterministic per-tick chunk generator with action feedback."""
+
+    reads: list[ReplayRead]
+    channels: int = 512
+    sample_rate: int = 4000
+    break_seconds: float = 0.4
+    seed: int = 0
+
+    def __post_init__(self):
+        self.chunk_samples = int(self.sample_rate * self.break_seconds)
+        self._queue = list(reversed(self.reads))  # pop() from the front
+        self._active: dict[int, ReplayRead] = {}
+        self._next_number = 0
+        self._rng = np.random.default_rng(self.seed)
+        self.stats = {
+            "reads_started": 0,
+            "reads_completed": 0,
+            "unblocked": 0,
+            "stop_received": 0,
+            "samples_saved": 0,
+        }
+
+    @classmethod
+    def from_fasta(
+        cls,
+        paths: list[str | Path],
+        samples_per_base: int = 9,
+        noise: float = 2.0,
+        seed: int = 0,
+        **kw,
+    ) -> "ReplaySource":
+        rng = np.random.default_rng(seed)
+        reads = [
+            ReplayRead(
+                read_id=rec.id,
+                signal=sequence_to_signal(rec.seq, samples_per_base, noise, rng),
+                true_seq=rec.seq,
+            )
+            for p in paths
+            for rec in read_records(p)
+        ]
+        return cls(reads=reads, seed=seed, **kw)
+
+    @property
+    def finished(self) -> bool:
+        return not self._queue and not self._active
+
+    def _fill_channels(self) -> None:
+        for ch in range(1, self.channels + 1):
+            if ch not in self._active and self._queue:
+                read = self._queue.pop()
+                read.number = self._next_number
+                self._next_number += 1
+                read.emitted = 0
+                self._active[ch] = read
+                self.stats["reads_started"] += 1
+
+    def tick(self) -> list[SignalChunk]:
+        """Advance one 0.4 s window; return the new chunks.
+
+        Mirrors the live stream's per-channel chunk delivery
+        (src/minknow/Data.cpp:338-424); chunks for stop_receiving reads
+        are suppressed but the read still occupies the channel until its
+        signal runs out (the pore keeps sequencing it).
+        """
+        self._fill_channels()
+        chunks: list[SignalChunk] = []
+        done: list[int] = []
+        for ch, read in self._active.items():
+            start = read.emitted
+            end = min(start + self.chunk_samples, read.signal.shape[0])
+            read.emitted = end
+            if not read.stopped and end > start:
+                chunks.append(
+                    SignalChunk(
+                        channel=ch,
+                        read_number=read.number,
+                        read_id=read.read_id,
+                        signal=read.signal[start:end],
+                        chunk_index=start // self.chunk_samples,
+                    )
+                )
+            if end >= read.signal.shape[0]:
+                done.append(ch)
+                self.stats["reads_completed"] += 1
+        for ch in done:
+            del self._active[ch]
+        return chunks
+
+    # -- action feedback (the consumer half of the bidi stream) ---------
+    def unblock(self, channel: int, read_number: int) -> bool:
+        """Eject a read (reference action: src/minknow/Data.cpp:74-103).
+
+        Returns False when the read already left the pore — the analog of
+        MinKNOW's failed_to_apply responses (src/minknow/Data.cpp:362-370).
+        """
+        read = self._active.get(channel)
+        if read is None or read.number != read_number:
+            return False
+        self.stats["unblocked"] += 1
+        self.stats["samples_saved"] += read.signal.shape[0] - read.emitted
+        read.unblocked = True
+        del self._active[channel]
+        return True
+
+    def stop_receiving(self, channel: int, read_number: int) -> bool:
+        read = self._active.get(channel)
+        if read is None or read.number != read_number:
+            return False
+        self.stats["stop_received"] += 1
+        read.stopped = True
+        return True

@@ -1,0 +1,259 @@
+"""Live adaptive-sampling engine.
+
+Rebuild of the reference's 7-task thread pipeline
+(adaptive_sampling, src/main/adaptive_sampling.hpp:555-774) as a
+tick-driven host scheduler feeding fixed-shape device batches:
+
+reference thread            | here
+----------------------------|------------------------------------------
+T2 Data::getLiveSignals     | ReplaySource.tick() chunk batch
+T3 basecall_live_reads      | one batched GRU forward per tick
+T4xN classify_live_reads    | one batched IBF count + policy per tick
+T5 Data::sendActions        | ActionSender.flush() (pacing + CSV)
+T6 compute_average_durations| IntervalStats
+T7/T8 writeReads            | FastaWriter per decision class
+T1 watchdog                 | source.finished
+
+Per-read state machines preserved exactly:
+
+* basecall pending: chunks whose basecalled (concatenated) sequence is
+  still under ``basecall_min_len`` (250 bp) are parked and prepended to
+  the read's next chunk (src/basecaller/DeepNano/DeepNanoBasecaller.cpp:52-97),
+* once_seen: an unclassified read is remembered; on its next chunk the
+  sequences are concatenated and re-checked (one extra batched pass);
+  past ``give_up_len`` (1500 bp) the read is assumed on-target and gets
+  stop_receiving (src/main/adaptive_sampling.hpp:278-337).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+from readbouncer_tpu.classify.engine import encode_batch
+from readbouncer_tpu.classify.math import ci_and_threshold_batch
+from readbouncer_tpu.classify.policy import (
+    DECISION_NONE,
+    DECISION_STOP_RECEIVING,
+    DECISION_UNBLOCK,
+    live_decisions,
+)
+from readbouncer_tpu.fastio.fasta import FastaWriter
+from readbouncer_tpu.ibf.query import FilterStack
+from readbouncer_tpu.ibf.storage import IBFData
+from readbouncer_tpu.stream.actions import Action, ActionSender
+from readbouncer_tpu.stream.replay import ReplaySource, SignalChunk
+from readbouncer_tpu.utils.timing import OnlineMean
+
+__all__ = ["LiveConfig", "LiveClassifier", "AdaptiveSampler", "LiveStats"]
+
+
+@dataclass
+class LiveConfig:
+    error_rate: float = 0.1
+    significance: float = 0.95
+    max_seq_len: int = 2048  # static device shape for live sequences
+    batch_size: int = 512  # static device batch
+    basecall_min_len: int = 250  # DeepNanoBasecaller.cpp:52
+    give_up_len: int = 1500  # adaptive_sampling.hpp:315
+    interval_seconds: float = 60.0
+
+
+class LiveClassifier:
+    """Batched check_unblock (reference: src/main/adaptive_sampling.hpp:35-113)."""
+
+    def __init__(
+        self,
+        target_filters: list[IBFData],
+        deplete_filters: list[IBFData],
+        cfg: LiveConfig,
+    ):
+        if not target_filters and not deplete_filters:
+            raise ValueError("live classification needs at least one filter")
+        self.targets = FilterStack(target_filters) if target_filters else None
+        self.depletes = FilterStack(deplete_filters) if deplete_filters else None
+        self.cfg = cfg
+
+    def _max_counts(self, stack: FilterStack, batch, lens):
+        counts = stack.counts(batch, lens)
+        thr_b = ci_and_threshold_batch(
+            lens, stack.kmer_size, self.cfg.error_rate, self.cfg.significance
+        )
+        thr_r = ci_and_threshold_batch(
+            lens, stack.kmer_size, self.cfg.error_rate - 0.02, self.cfg.significance
+        )
+        return (
+            np.asarray(stack.max_counts(counts, thr_b)),
+            np.asarray(stack.max_counts(counts, thr_r)),
+        )
+
+    def decide(self, seqs: list[str]) -> np.ndarray:
+        """Batched decisions: 0 continue / 1 unblock / 2 stop_receiving."""
+        if not seqs:
+            return np.zeros(0, dtype=np.int64)
+        out = np.zeros(len(seqs), dtype=np.int64)
+        B = self.cfg.batch_size
+        for start in range(0, len(seqs), B):
+            part = seqs[start : start + B]
+            batch, lens = encode_batch(part, self.cfg.max_seq_len, batch=B)
+            t_b = t_r = d_b = d_r = None
+            if self.targets is not None:
+                t_b, t_r = self._max_counts(self.targets, batch, lens)
+            if self.depletes is not None:
+                d_b, d_r = self._max_counts(self.depletes, batch, lens)
+            out[start : start + len(part)] = live_decisions(d_b, t_b, d_r, t_r)[
+                : len(part)
+            ]
+        return out
+
+
+@dataclass
+class LiveStats:
+    classified: int = 0
+    unclassified: int = 0
+    unblocked: int = 0
+    stop_received: int = 0
+    ticks: int = 0
+    avg_read_len: OnlineMean = field(default_factory=OnlineMean)
+    tick_latencies: list[float] = field(default_factory=list)
+    basecall_seconds: float = 0.0
+    classify_seconds: float = 0.0
+    reads_processed: int = 0
+
+    def p50_latency(self) -> float:
+        return float(np.median(self.tick_latencies)) if self.tick_latencies else 0.0
+
+    def report(self) -> str:
+        return "\n".join(
+            [
+                "-" * 99,
+                f"Number of classified reads\t\t\t\t:\t{self.classified}",
+                f"Number of unclassified reads\t\t\t\t:\t{self.unclassified}",
+                f"Reads unblocked\t\t\t\t\t\t:\t{self.unblocked}",
+                f"Reads stop_receiving\t\t\t\t\t:\t{self.stop_received}",
+                f"Average read length\t\t\t\t\t:\t{self.avg_read_len.mean:.1f}",
+                f"p50 per-batch decision latency\t\t\t\t:\t{self.p50_latency()*1000:.2f} ms",
+                f"Average basecall time / read\t\t\t\t:\t{self.basecall_seconds/max(1,self.reads_processed):.6f} s",
+                f"Average classify time / read\t\t\t\t:\t{self.classify_seconds/max(1,self.reads_processed):.6f} s",
+            ]
+        )
+
+
+class AdaptiveSampler:
+    """The live pipeline driver."""
+
+    def __init__(
+        self,
+        source: ReplaySource,
+        basecaller,
+        classifier: LiveClassifier,
+        output_dir: str | Path = ".",
+        cfg: LiveConfig | None = None,
+        wall_clock: bool = False,
+    ):
+        self.source = source
+        self.basecaller = basecaller
+        self.classifier = classifier
+        self.cfg = cfg or classifier.cfg
+        self.output_dir = Path(output_dir)
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        self.sender = ActionSender(
+            source, self.output_dir, wall_clock=wall_clock
+        )
+        self.stats = LiveStats()
+        self.pending_bc: dict[str, str] = {}
+        self.once_seen: dict[str, tuple[str, int]] = {}
+        self.depleted_writer = FastaWriter(self.output_dir / "DepletedReads.fasta")
+        self.target_writer = FastaWriter(self.output_dir / "TargetReads.fasta")
+
+    # -- single-read decision application -------------------------------
+    def _emit(self, chunk: SignalChunk, seq: str, unblock: bool, t0: float) -> None:
+        self.stats.avg_read_len.add(len(seq))
+        dt = time.monotonic() - t0
+        if unblock:
+            self.stats.unblocked += 1
+            self.depleted_writer.write(chunk.read_id, seq)
+        else:
+            self.stats.stop_received += 1
+            self.target_writer.write(chunk.read_id, seq)
+        self.stats.classified += 1
+        self.sender.queue(
+            Action(
+                channel=chunk.channel,
+                read_number=chunk.read_number,
+                read_id=chunk.read_id,
+                unblock=unblock,
+                seq_length=len(seq),
+                processing_seconds=dt,
+            )
+        )
+
+    def step(self) -> int:
+        """One 0.4 s tick; returns number of chunks processed."""
+        t_tick = time.monotonic()
+        chunks = self.source.tick()
+        self.stats.ticks += 1
+        if chunks:
+            t0 = time.monotonic()
+            seqs = self.basecaller.basecall([c.signal for c in chunks])
+            self.stats.basecall_seconds += time.monotonic() - t0
+            items: list[tuple[SignalChunk, str]] = []
+            for c, s in zip(chunks, seqs):
+                s = self.pending_bc.pop(c.read_id, "") + s
+                if len(s) < self.cfg.basecall_min_len:
+                    self.pending_bc[c.read_id] = s
+                    continue
+                items.append((c, s))
+            if items:
+                t0 = time.monotonic()
+                decisions = self.classifier.decide([s for _, s in items])
+                second: list[tuple[SignalChunk, str, int]] = []
+                for (c, s), d in zip(items, decisions):
+                    if d == DECISION_UNBLOCK:
+                        prev, _ = self.once_seen.pop(c.read_id, ("", 0))
+                        self._emit(c, prev + s, True, t_tick)
+                    elif d == DECISION_STOP_RECEIVING:
+                        self.once_seen.pop(c.read_id, None)
+                        self._emit(c, s, False, t_tick)
+                    else:
+                        entry = self.once_seen.pop(c.read_id, None)
+                        if entry is not None:
+                            second.append((c, entry[0] + s, entry[1]))
+                        else:
+                            self.once_seen[c.read_id] = (s, 1)
+                if second:
+                    d2 = self.classifier.decide([s for _, s, _ in second])
+                    for (c, s, iterstep), d in zip(second, d2):
+                        if d == DECISION_UNBLOCK:
+                            self._emit(c, s, True, t_tick)
+                        elif d == DECISION_STOP_RECEIVING:
+                            self._emit(c, s, False, t_tick)
+                        elif len(s) > self.cfg.give_up_len:
+                            # assume on-target (adaptive_sampling.hpp:313-325)
+                            self._emit(c, s, False, t_tick)
+                        else:
+                            self.once_seen[c.read_id] = (s, iterstep + 1)
+                self.stats.classify_seconds += time.monotonic() - t0
+                self.stats.reads_processed += len(items)
+            self.stats.tick_latencies.append(time.monotonic() - t_tick)
+        self.sender.flush()
+        return len(chunks)
+
+    def run(self, max_ticks: int | None = None) -> LiveStats:
+        ticks = 0
+        while not self.source.finished:
+            self.step()
+            ticks += 1
+            if max_ticks is not None and ticks >= max_ticks:
+                break
+        self.sender.drain()
+        # reads whose chunks ran out while unclassified (a read can sit in
+        # both maps: once_seen from an earlier chunk, pending from its last)
+        self.stats.unclassified = len(set(self.once_seen) | set(self.pending_bc))
+        self.depleted_writer.close()
+        self.target_writer.close()
+        self.sender.close()
+        return self.stats

@@ -1,0 +1,134 @@
+"""Basecaller: weight parsing, forward-pass invariants, CTC decoding."""
+
+import numpy as np
+import pytest
+
+from readbouncer_tpu.models.ctc import (
+    beam_search_decode,
+    greedy_decode,
+    greedy_decode_ids,
+)
+from readbouncer_tpu.models.gru import (
+    GRUBasecallerModel,
+    frame_signal,
+    med_mad_normalize,
+)
+from readbouncer_tpu.models.weights import default_weights_path, load_deepnano_weights
+
+WEIGHTS = default_weights_path("48")
+
+
+@pytest.fixture(scope="module")
+def weights():
+    return load_deepnano_weights(WEIGHTS)
+
+
+def test_weights_shapes(weights):
+    assert weights.input_features == 66
+    assert weights.hidden == 48
+    assert len(weights.layers) == 4
+    assert weights.w_out.shape == (48, 5)
+    assert weights.b_out.shape == (5,)
+
+
+def test_all_network_sizes_parse():
+    for net, h in [("56", 56), ("64", 64), ("80", 80), ("96", 96)]:
+        w = load_deepnano_weights(default_weights_path(net))
+        assert w.hidden == h
+        assert w.input_features == 66
+
+
+def test_med_mad_normalize():
+    sig = np.array([1.0, 2.0, 3.0, 4.0, 100.0], dtype=np.float32)
+    out = med_mad_normalize(sig)
+    assert abs(np.median(out)) < 1e-5
+    assert np.isfinite(out).all()
+
+
+def test_frame_signal_shapes():
+    f = frame_signal(np.zeros(1000, np.float32), window=66, stride=5)
+    assert f.shape == ((1000 - 66) // 5 + 1, 66)
+    # shorter than one window: padded to a single frame
+    f2 = frame_signal(np.zeros(10, np.float32), window=66, stride=5)
+    assert f2.shape == (1, 66)
+    f3 = frame_signal(np.zeros(5000, np.float32), window=66, stride=5, max_frames=100)
+    assert f3.shape == (100, 66)
+
+
+@pytest.fixture(scope="module")
+def model(weights):
+    return GRUBasecallerModel(weights)
+
+
+def test_forward_shapes_and_finite(model):
+    rng = np.random.default_rng(0)
+    frames = rng.normal(size=(3, 40, 66)).astype(np.float32)
+    logits = np.asarray(model.logits(frames))
+    assert logits.shape == (3, 40, 5)
+    assert np.isfinite(logits).all()
+
+
+def test_forward_batch_equals_single(model):
+    # batching must not change per-read results (scan correctness)
+    rng = np.random.default_rng(1)
+    frames = rng.normal(size=(4, 32, 66)).astype(np.float32)
+    batched = np.asarray(model.logits(frames))
+    for i in range(4):
+        single = np.asarray(model.logits(frames[i : i + 1]))
+        np.testing.assert_allclose(batched[i], single[0], rtol=1e-4, atol=5e-5)
+
+
+def test_forward_deterministic(model):
+    rng = np.random.default_rng(2)
+    frames = rng.normal(size=(2, 20, 66)).astype(np.float32)
+    a = np.asarray(model.logits(frames))
+    b = np.asarray(model.logits(frames))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_greedy_decode_collapse():
+    #           blank, A=1, C=2, G=3, T=4
+    ids = np.array([0, 1, 1, 0, 2, 2, 2, 3, 0, 0, 4, 4, 1])
+    assert greedy_decode_ids(ids) == "ACGTA"
+    assert greedy_decode_ids(np.array([0, 0, 0])) == ""
+    assert greedy_decode_ids(ids, length=4) == "A"
+
+
+def test_greedy_decode_batch():
+    logits = np.full((2, 5, 5), -10.0, dtype=np.float32)
+    # read 0: A A(repeat->collapse) blank C T
+    for t, s in enumerate([1, 1, 0, 2, 4]):
+        logits[0, t, s] = 10.0
+    # read 1: all blank
+    logits[1, :, 0] = 10.0
+    assert greedy_decode(logits) == ["ACT", ""]
+
+
+def test_beam_matches_greedy_on_peaked_logits():
+    rng = np.random.default_rng(3)
+    T = 30
+    ids = rng.integers(0, 5, T)
+    logits = np.full((T, 5), -12.0, dtype=np.float32)
+    logits[np.arange(T), ids] = 12.0
+    greedy = greedy_decode_ids(ids)
+    beam = beam_search_decode(logits, beam_size=5, beam_cut_threshold=0.01)
+    assert beam == greedy
+
+
+def test_beam_handles_ambiguity():
+    # two steps, each ~50/50 between A and blank: best prefix is "A"
+    logits = np.array([[1.0, 1.1, -9, -9, -9], [1.1, 1.0, -9, -9, -9]], dtype=np.float32)
+    out = beam_search_decode(logits, beam_size=5, beam_cut_threshold=0.0)
+    assert out in ("A", "AA", "")
+    assert out == "A"  # p(A) sums over 3 paths: dominates
+
+
+def test_end_to_end_basecall_runs():
+    from readbouncer_tpu.models.basecaller import GRUBasecaller
+
+    bc = GRUBasecaller(max_frames=256)
+    rng = np.random.default_rng(4)
+    sigs = [rng.normal(size=1500).astype(np.float32) * 20 + 400 for _ in range(3)]
+    seqs = bc.basecall(sigs)
+    assert len(seqs) == 3
+    assert all(set(s) <= set("ACGT") for s in seqs)
