@@ -1,0 +1,223 @@
+// Native host-side I/O + encode kernels for readbouncer_tpu.
+//
+// The reference is a C++ pipeline end to end; in the TPU rebuild the
+// device does all math, but the host feed path (FASTA/FASTQ parsing,
+// Dna5 base encoding, fixed-shape batch packing) must keep up with the
+// chip.  These are the pure-C++ equivalents of the reference's SeqAn
+// I/O + alphabet layer (src/IBF/IBFBuild.cpp:52 readRecords,
+// Dna5 ordValue encoding) exposed as a CPython extension module
+// (readbouncer_tpu._native); readbouncer_tpu/fastio falls back to the
+// Python implementations when the module isn't built.
+//
+// Build: `make -C native` (setuptools build_ext --inplace).
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+// Dna5 ordValue: A=0 C=1 G=2 T=3 everything-else=4 (matches
+// readbouncer_tpu/ibf/hashing.py _BASE_LUT).
+struct BaseLut {
+    uint8_t tab[256];
+    BaseLut() {
+        memset(tab, 4, sizeof(tab));
+        tab[(unsigned char)'A'] = 0; tab[(unsigned char)'a'] = 0;
+        tab[(unsigned char)'C'] = 1; tab[(unsigned char)'c'] = 1;
+        tab[(unsigned char)'G'] = 2; tab[(unsigned char)'g'] = 2;
+        tab[(unsigned char)'T'] = 3; tab[(unsigned char)'t'] = 3;
+    }
+};
+const BaseLut kLut;
+
+// encode_into(seq, n, out): ASCII -> ordValues.
+inline void encode_into(const char* seq, Py_ssize_t n, uint8_t* out) {
+    for (Py_ssize_t i = 0; i < n; ++i) out[i] = kLut.tab[(unsigned char)seq[i]];
+}
+
+// ---------------------------------------------------------------------
+// encode_batch(seqs: list[str|bytes], length: int) -> (bytes, bytes)
+//
+// Packs up to `length` encoded bases of each sequence into a row of a
+// [len(seqs), length] uint8 buffer (zero padded) and returns
+// (buffer_bytes, lengths_int32_bytes).  The Python side wraps both with
+// numpy.frombuffer — zero copies beyond the single allocation here.
+PyObject* encode_batch(PyObject*, PyObject* args) {
+    PyObject* seqs;
+    Py_ssize_t length;
+    if (!PyArg_ParseTuple(args, "On", &seqs, &length)) return nullptr;
+    if (!PyList_Check(seqs)) {
+        PyErr_SetString(PyExc_TypeError, "seqs must be a list");
+        return nullptr;
+    }
+    Py_ssize_t rows = PyList_GET_SIZE(seqs);
+    PyObject* buf = PyBytes_FromStringAndSize(nullptr, rows * length);
+    PyObject* lens = PyBytes_FromStringAndSize(nullptr, rows * 4);
+    if (!buf || !lens) { Py_XDECREF(buf); Py_XDECREF(lens); return nullptr; }
+    uint8_t* out = (uint8_t*)PyBytes_AS_STRING(buf);
+    int32_t* lens_out = (int32_t*)PyBytes_AS_STRING(lens);
+    memset(out, 0, rows * length);
+    for (Py_ssize_t r = 0; r < rows; ++r) {
+        PyObject* item = PyList_GET_ITEM(seqs, r);
+        const char* data;
+        Py_ssize_t n;
+        if (PyUnicode_Check(item)) {
+            data = PyUnicode_AsUTF8AndSize(item, &n);
+            if (!data) { Py_DECREF(buf); Py_DECREF(lens); return nullptr; }
+        } else if (PyBytes_Check(item)) {
+            data = PyBytes_AS_STRING(item);
+            n = PyBytes_GET_SIZE(item);
+        } else {
+            Py_DECREF(buf); Py_DECREF(lens);
+            PyErr_SetString(PyExc_TypeError, "sequences must be str or bytes");
+            return nullptr;
+        }
+        if (n > length) n = length;
+        encode_into(data, n, out + r * length);
+        lens_out[r] = (int32_t)n;
+    }
+    PyObject* result = PyTuple_Pack(2, buf, lens);
+    Py_DECREF(buf);
+    Py_DECREF(lens);
+    return result;
+}
+
+// ---------------------------------------------------------------------
+// encode(seq: str|bytes) -> bytes   (ordValues, same length)
+PyObject* encode(PyObject*, PyObject* arg) {
+    const char* data;
+    Py_ssize_t n;
+    if (PyUnicode_Check(arg)) {
+        data = PyUnicode_AsUTF8AndSize(arg, &n);
+        if (!data) return nullptr;
+    } else if (PyBytes_Check(arg)) {
+        data = PyBytes_AS_STRING(arg);
+        n = PyBytes_GET_SIZE(arg);
+    } else {
+        PyErr_SetString(PyExc_TypeError, "seq must be str or bytes");
+        return nullptr;
+    }
+    PyObject* out = PyBytes_FromStringAndSize(nullptr, n);
+    if (!out) return nullptr;
+    encode_into(data, n, (uint8_t*)PyBytes_AS_STRING(out));
+    return out;
+}
+
+// ---------------------------------------------------------------------
+// read_records(path: str, first_word_id: bool) -> list[(str, bytes)]
+//
+// Streaming FASTA/FASTQ parser (format sniffed from the first byte,
+// like seqan::readRecords).  Returns raw sequence bytes; ids optionally
+// cut at the first space (reference: src/IBF/IBFBuild.cpp:77).
+PyObject* read_records(PyObject*, PyObject* args) {
+    const char* path;
+    int first_word_id = 0;
+    if (!PyArg_ParseTuple(args, "s|p", &path, &first_word_id)) return nullptr;
+    FILE* f = fopen(path, "rb");
+    if (!f) {
+        PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
+        return nullptr;
+    }
+    PyObject* out = PyList_New(0);
+    if (!out) { fclose(f); return nullptr; }
+
+    std::string line, id, seq;
+    line.reserve(1 << 16);
+    int c = fgetc(f);
+    bool fastq = (c == '@');
+    ungetc(c, f);
+
+    char buf[1 << 16];
+    auto flush = [&]() -> bool {
+        if (id.empty() && seq.empty()) return true;
+        PyObject* pid = PyUnicode_FromStringAndSize(id.data(), id.size());
+        PyObject* pseq = PyBytes_FromStringAndSize(seq.data(), seq.size());
+        if (!pid || !pseq) { Py_XDECREF(pid); Py_XDECREF(pseq); return false; }
+        PyObject* tup = PyTuple_Pack(2, pid, pseq);
+        Py_DECREF(pid); Py_DECREF(pseq);
+        if (!tup) return false;
+        int rc = PyList_Append(out, tup);
+        Py_DECREF(tup);
+        return rc == 0;
+    };
+
+    int phase = 0;  // fastq: 0=header 1=seq 2=plus 3=qual
+    bool ok = true;
+    while (ok && fgets(buf, sizeof(buf), f)) {
+        size_t n = strlen(buf);
+        bool eol = n && buf[n - 1] == '\n';
+        if (eol) buf[--n] = 0;
+        if (n && buf[n - 1] == '\r') buf[--n] = 0;
+        if (!fastq) {
+            if (n && buf[0] == '>') {
+                ok = flush();
+                id.assign(buf + 1, n - 1);
+                if (first_word_id) {
+                    size_t sp = id.find_first_of(" \t");
+                    if (sp != std::string::npos) id.resize(sp);
+                }
+                seq.clear();
+            } else {
+                seq.append(buf, n);
+            }
+            // multi-line FASTA: sequence continues until the next header
+            continue;
+        }
+        // FASTQ state machine (4-line records; seq/qual single-line only
+        // while a line keeps ending exactly at the buffer boundary we
+        // keep appending below)
+        switch (phase) {
+            case 0:
+                if (n && buf[0] == '@') {
+                    id.assign(buf + 1, n - 1);
+                    if (first_word_id) {
+                        size_t sp = id.find_first_of(" \t");
+                        if (sp != std::string::npos) id.resize(sp);
+                    }
+                    seq.clear();
+                    if (eol) phase = 1;
+                }
+                break;
+            case 1:
+                seq.append(buf, n);
+                if (eol) phase = 2;
+                break;
+            case 2:
+                if (eol) phase = 3;
+                break;
+            case 3:
+                if (eol) { ok = flush(); id.clear(); seq.clear(); phase = 0; }
+                break;
+        }
+        if (!eol && phase == 0 && !fastq) continue;
+    }
+    if (ok && !fastq) ok = flush();
+    if (ok && fastq && phase == 3) ok = flush();
+    fclose(f);
+    if (!ok) { Py_DECREF(out); return nullptr; }
+    return out;
+}
+
+PyMethodDef kMethods[] = {
+    {"encode_batch", encode_batch, METH_VARARGS,
+     "encode_batch(seqs, length) -> (u8 bytes [R*length], i32 bytes [R])"},
+    {"encode", encode, METH_O, "encode(seq) -> ordValue bytes"},
+    {"read_records", read_records, METH_VARARGS,
+     "read_records(path, first_word_id=False) -> list[(id, seq_bytes)]"},
+    {nullptr, nullptr, 0, nullptr},
+};
+
+PyModuleDef kModule = {
+    PyModuleDef_HEAD_INIT, "_native",
+    "native host-side I/O + encode kernels", -1, kMethods,
+};
+
+}  // namespace
+
+PyMODINIT_FUNC PyInit__native(void) { return PyModule_Create(&kModule); }

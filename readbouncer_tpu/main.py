@@ -1,0 +1,226 @@
+"""Command-line entry point: ``python -m readbouncer_tpu --config file.toml``.
+
+Rebuild of the reference's main/dispatch (src/main/main.cpp:274-447 +
+the Lyra parser, src/main/parser.hpp:13-39): one ``--config`` flag, four
+usages dispatched from the TOML file, loggers initialized up front, and
+a final Real/CPU/peak-RSS report (src/main/main.cpp:439-444).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+from readbouncer_tpu.config import ConfigReader
+from readbouncer_tpu.utils.logging import get_logger, setup_loggers
+
+__all__ = ["main", "run_program", "get_filters", "filter_output_path"]
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    """reference: parse_config, src/main/parser.hpp:13-39."""
+    p = argparse.ArgumentParser(
+        prog="readbouncer-tpu",
+        description=(
+            "TPU-native nanopore adaptive sampling: build IBF indexes, "
+            "classify reads, run live selective sequencing"
+        ),
+    )
+    p.add_argument("--config", required=True, help="TOML configuration file")
+    p.add_argument(
+        "--verbose", action="store_true", help="echo progress to stdout"
+    )
+    return p.parse_args(argv)
+
+
+def filter_output_path(output_dir: Path, source: Path) -> Path:
+    """<output>/<fasta stem>.ribf (reference .ibf naming: ibfbuild.hpp:38-44)."""
+    return output_dir / (source.stem + ".ribf")
+
+
+def get_filters(config: ConfigReader, files: list[Path], verbose: bool = False):
+    """Load-or-build each input (reference: getIBF, src/main/ibfbuild.hpp:69-180):
+    filter files load directly; FASTA inputs are built and saved first."""
+    from readbouncer_tpu.ibf.build import build_ibf
+    from readbouncer_tpu.ibf.params import IBFParams
+    from readbouncer_tpu.ibf.storage import IBFData, sniff
+
+    log = get_logger("IbfLog")
+    out = []
+    for f in files:
+        f = Path(f)
+        if sniff(f):
+            log.info("loading filter file %s", f)
+            out.append(IBFData.load(f, name=f.stem))
+            continue
+        params = IBFParams(
+            kmer_size=config.ibf.kmer_size,
+            fragment_length=config.ibf.fragment_size,
+            hash_functions=config.tpu.hash_functions,
+            max_fp=config.tpu.max_fp,
+        )
+        log.info("building filter from %s (k=%d, fragment=%d)", f, params.kmer_size, params.fragment_length)
+        ibf, stats = build_ibf([f], params, name=f.stem)
+        dest = filter_output_path(config.output_dir, f)
+        ibf.save(dest)
+        log.info(
+            "built %s: %d bins, %d bits, %.2fs",
+            dest, stats.total_bins_declared, stats.filter_size_bits, stats.build_seconds,
+        )
+        if verbose:
+            print(f"built {dest}: {stats.total_bins_declared} bins, {stats.filter_size_bits} bits")
+        out.append(ibf)
+    return out
+
+
+def run_build(config: ConfigReader, verbose: bool) -> int:
+    """reference: main.cpp:286-345 (build usage builds every input file)."""
+    get_filters(config, config.ibf.target_files + config.ibf.deplete_files, verbose)
+    return 0
+
+
+def run_classify(config: ConfigReader, verbose: bool) -> int:
+    """reference: main.cpp:346-369 -> classify_reads."""
+    from readbouncer_tpu.classify.engine import classify_read_files
+
+    targets = get_filters(config, config.ibf.target_files, verbose)
+    depletes = get_filters(config, config.ibf.deplete_files, verbose)
+    classify_read_files(
+        read_files=config.ibf.read_files,
+        target_filters=targets,
+        deplete_filters=depletes,
+        error_rate=config.ibf.error_rate,
+        output_dir=config.output_dir,
+        significance=config.tpu.significance,
+        chunk_length=config.ibf.chunk_length,
+        max_chunks=config.ibf.max_chunks,
+        batch_size=config.tpu.batch_size,
+        verbose=True,
+    )
+    return 0
+
+
+def make_replay_source(config: ConfigReader):
+    """The MinKNOW stand-in (SURVEY.md §2.1 item 3): a replayed signal
+    stream honoring the chunk/action timing contract."""
+    from readbouncer_tpu.stream.replay import ReplaySource
+
+    if not config.tpu.replay_file:
+        raise ValueError(
+            "target/test usage needs TPU.replay_file (the replayed signal "
+            "source standing in for a live MinKNOW run)"
+        )
+    return ReplaySource.from_fasta(
+        [config.tpu.replay_file],
+        channels=config.minknow.max_channel - config.minknow.min_channel + 1,
+        break_seconds=config.tpu.break_reads_after_seconds,
+    )
+
+
+def run_target(config: ConfigReader, verbose: bool) -> int:
+    """reference: adaptive_sampling, src/main/adaptive_sampling.hpp:555-774."""
+    from readbouncer_tpu.stream.scheduler import AdaptiveSampler, LiveClassifier, LiveConfig
+
+    log = get_logger("RUClientLog")
+    targets = get_filters(config, config.ibf.target_files, verbose)
+    depletes = get_filters(config, config.ibf.deplete_files, verbose)
+    source = make_replay_source(config)
+    caller = config.basecaller.caller.lower()
+    if caller == "oracle":
+        # replay-harness oracle inverting the synthetic pore model —
+        # rebuild-specific caller for deterministic pipeline validation
+        from readbouncer_tpu.stream.replay import NearestLevelBasecaller
+
+        basecaller = NearestLevelBasecaller()
+    else:
+        # "DeepNano" (and any GPU-server caller name) maps to the on-chip
+        # GRU — the JAX GRU *is* the native basecaller (SURVEY.md §2.1)
+        from readbouncer_tpu.models.basecaller import GRUBasecaller
+
+        basecaller = GRUBasecaller(
+            network=config.basecaller.network,
+            weights_dir=config.basecaller.weights_dir,
+        )
+    cfg = LiveConfig(
+        error_rate=config.ibf.error_rate,
+        significance=config.tpu.significance,
+        batch_size=config.tpu.batch_size,
+    )
+    sampler = AdaptiveSampler(
+        source,
+        basecaller,
+        LiveClassifier(targets, depletes, cfg),
+        output_dir=config.output_dir,
+        cfg=cfg,
+    )
+    log.info("live run starting: %d queued reads", len(source.reads))
+    stats = sampler.run()
+    print(stats.report())
+    log.info("live run finished after %d ticks", stats.ticks)
+    return 0
+
+
+def run_test(config: ConfigReader, verbose: bool) -> int:
+    """Connection test (reference: test_connection,
+    src/main/connection_test.hpp:36-155): bring the stream up, probe one
+    chunk window, report.  The reference's unblock-all load test exists
+    but is hard-disabled (connection_test.hpp:75); same here."""
+    source = make_replay_source(config)
+    chunks = source.tick()
+    print(
+        f"Connection to replay source successful: {len(source.reads)} reads, "
+        f"{source.channels} channels, {len(chunks)} chunks in first window"
+    )
+    unblock_all = False  # dormant, as in the reference
+    if unblock_all:
+        for c in chunks:
+            source.unblock(c.channel, c.read_number)
+    return 0
+
+
+def run_program(config: ConfigReader, verbose: bool = False) -> int:
+    """reference: run_program, src/main/main.cpp:274-404."""
+    dispatch = {
+        "build": run_build,
+        "classify": run_classify,
+        "target": run_target,
+        "test": run_test,
+    }
+    return dispatch[config.usage](config, verbose)
+
+
+def _resource_report(wall_seconds: float) -> str:
+    """Real/CPU/peak-RSS summary (reference: src/main/main.cpp:439-444)."""
+    import resource
+
+    ru = resource.getrusage(resource.RUSAGE_SELF)
+    cpu = ru.ru_utime + ru.ru_stime
+    peak_mb = ru.ru_maxrss / 1024.0  # linux: KiB
+    return (
+        f"Real time : {wall_seconds:.3f} sec\n"
+        f"CPU time  : {cpu:.3f} sec\n"
+        f"Peak RSS  : {peak_mb:.1f} MBytes"
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+    t0 = time.monotonic()
+    config = ConfigReader(args.config).parse()
+    setup_loggers(config.log_dir)
+    config.create_log()
+    log = get_logger("ReadBouncerLog")
+    log.info("usage=%s config=%s", config.usage, args.config)
+    try:
+        rc = run_program(config, verbose=args.verbose)
+    except Exception:
+        log.exception("run failed")
+        raise
+    print(_resource_report(time.monotonic() - t0))
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

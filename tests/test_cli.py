@@ -1,0 +1,153 @@
+"""End-to-end CLI tests: all four usages through main(--config ...)."""
+
+import numpy as np
+import pytest
+
+from readbouncer_tpu.main import main
+
+
+@pytest.fixture(scope="module")
+def genome(tmp_path_factory):
+    rng = np.random.default_rng(11)
+    td = tmp_path_factory.mktemp("cli")
+    bases = np.array(list("ACGT"))
+    target = "".join(bases[rng.integers(0, 4, size=6000)])
+    deplete = "".join(bases[rng.integers(0, 4, size=6000)])
+    (td / "target.fasta").write_text(f">t1\n{target}\n")
+    (td / "deplete.fasta").write_text(f">d1\n{deplete}\n")
+    # reads: 4 from target, 4 from deplete, 2 random
+    lines = []
+    for i in range(4):
+        s = rng.integers(0, 6000 - 400)
+        lines.append(f">tr{i}\n{target[s:s+400]}")
+    for i in range(4):
+        s = rng.integers(0, 6000 - 400)
+        lines.append(f">dr{i}\n{deplete[s:s+400]}")
+    for i in range(2):
+        lines.append(f">rr{i}\n" + "".join(bases[rng.integers(0, 4, size=400)]))
+    (td / "reads.fasta").write_text("\n".join(lines) + "\n")
+    return td
+
+
+def _write_config(td, usage, extra=""):
+    cfg = td / f"{usage}.toml"
+    cfg.write_text(
+        f'''
+usage = "{usage}"
+output_directory = "{td}/out_{usage}"
+log_directory = "{td}/log_{usage}"
+
+[IBF]
+kmer_size = 13
+fragment_size = 2000
+target_files = ["{td}/target.fasta"]
+deplete_files = ["{td}/deplete.fasta"]
+read_files = ["{td}/reads.fasta"]
+exp_seq_error_rate = 0.1
+chunk_length = 200
+max_chunks = 2
+
+[TPU]
+batch_size = 16
+{extra}
+'''
+    )
+    return cfg
+
+
+def test_cli_build(genome, capsys):
+    cfg = _write_config(genome, "build")
+    assert main(["--config", str(cfg), "--verbose"]) == 0
+    out_dir = genome / "out_build"
+    assert (out_dir / "target.ribf").exists()
+    assert (out_dir / "deplete.ribf").exists()
+    assert (genome / "log_build" / "configLog.toml").exists()
+    assert "Peak RSS" in capsys.readouterr().out
+
+
+def test_cli_classify_from_prebuilt(genome, capsys):
+    # build first, then classify pointing at the .ribf files (load path)
+    main(["--config", str(_write_config(genome, "build"))])
+    td = genome
+    cfg = td / "classify2.toml"
+    cfg.write_text(
+        f'''
+usage = "classify"
+output_directory = "{td}/out_classify"
+log_directory = "{td}/log_classify"
+
+[IBF]
+kmer_size = 13
+fragment_size = 2000
+target_files = ["{td}/out_build/target.ribf"]
+deplete_files = ["{td}/out_build/deplete.ribf"]
+read_files = ["{td}/reads.fasta"]
+chunk_length = 200
+max_chunks = 2
+
+[TPU]
+batch_size = 16
+'''
+    )
+    assert main(["--config", str(cfg)]) == 0
+    out = capsys.readouterr().out
+    assert "Final Results" in out
+    assert (td / "out_classify" / "target.fasta").exists()
+    assert (td / "out_classify" / "unclassified.fasta").exists()
+
+
+def test_cli_target_oracle(genome, capsys):
+    cfg = genome / "target.toml"
+    cfg.write_text(
+        f'''
+usage = "target"
+output_directory = "{genome}/out_target"
+log_directory = "{genome}/log_target"
+
+[IBF]
+kmer_size = 13
+fragment_size = 2000
+target_files = ["{genome}/target.fasta"]
+deplete_files = ["{genome}/deplete.fasta"]
+exp_seq_error_rate = 0.1
+
+[Basecaller]
+caller = "Oracle"
+
+[TPU]
+batch_size = 16
+replay_file = "{genome}/reads.fasta"
+'''
+    )
+    assert main(["--config", str(cfg)]) == 0
+    out = capsys.readouterr().out
+    assert "classified reads" in out
+    out_dir = genome / "out_target"
+    assert (out_dir / "read_until_decision_stats.csv").exists()
+    assert (out_dir / "DepletedReads.fasta").exists()
+
+
+def test_cli_test_usage(genome, capsys):
+    cfg = genome / "conn.toml"
+    cfg.write_text(
+        f'''
+usage = "test"
+output_directory = "{genome}/out_test"
+log_directory = "{genome}/log_test"
+
+[IBF]
+target_files = ["{genome}/target.fasta"]
+
+[TPU]
+replay_file = "{genome}/reads.fasta"
+'''
+    )
+    assert main(["--config", str(cfg)]) == 0
+    assert "successful" in capsys.readouterr().out
+
+
+def test_cli_bad_usage(genome, tmp_path):
+    cfg = tmp_path / "bad.toml"
+    cfg.write_text('usage = "frobnicate"\n')
+    with pytest.raises(ValueError, match="usage"):
+        main(["--config", str(cfg)])

@@ -1,0 +1,143 @@
+"""Mesh/sharding tests on the virtual 8-device CPU mesh (conftest.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from readbouncer_tpu.classify.math import ci_and_threshold_batch
+from readbouncer_tpu.ibf.query import FilterStack
+from readbouncer_tpu.ibf.storage import IBFData
+from readbouncer_tpu.parallel.mesh import BINS_AXIS, DATA_AXIS, make_mesh, parse_mesh_shape
+from readbouncer_tpu.parallel.sharded import ShardedFilterStack
+
+
+def _rand_filters(rng, rows=512, words_each=2, k=13, h=3):
+    out = []
+    for name in ("target", "deplete"):
+        bits = rng.integers(0, 1 << 32, size=(rows, words_each), dtype=np.uint32)
+        out.append(
+            IBFData(
+                kmer_size=k,
+                hash_functions=h,
+                num_bins=words_each * 32 - 10,
+                bits=bits,
+                name=name,
+            )
+        )
+    return out
+
+
+def test_parse_mesh_shape():
+    assert parse_mesh_shape("data:4,bins:2") == {"data": 4, "bins": 2}
+    assert parse_mesh_shape("") == {}
+    with pytest.raises(ValueError):
+        parse_mesh_shape("data")
+
+
+def test_make_mesh_default_all_data():
+    mesh = make_mesh()
+    assert mesh.shape[DATA_AXIS] == len(jax.devices())
+    assert mesh.shape[BINS_AXIS] == 1
+
+
+def test_make_mesh_wrong_total():
+    with pytest.raises(ValueError):
+        make_mesh({DATA_AXIS: 3, BINS_AXIS: 5})
+
+
+@pytest.mark.parametrize("shape", [{DATA_AXIS: 8, BINS_AXIS: 1}, {DATA_AXIS: 4, BINS_AXIS: 2}])
+def test_sharded_matches_single_device(shape):
+    """Sharded max-counts must equal the single-device FilterStack result."""
+    rng = np.random.default_rng(3)
+    filters = _rand_filters(rng)
+    stack = FilterStack(filters)
+    mesh = make_mesh(shape)
+    sharded = ShardedFilterStack(stack, mesh)
+
+    R, L, k = 16, 80, stack.kmer_size
+    reads = rng.integers(0, 5, size=(R, L)).astype(np.uint8)
+    lengths = rng.integers(k, L + 1, size=R).astype(np.int32)
+    thr_b = np.asarray(ci_and_threshold_batch(lengths, k, 0.1, 0.95))
+    thr_r = np.asarray(ci_and_threshold_batch(lengths, k, 0.08, 0.95))
+
+    mb, mr = sharded.max_counts_dual(reads, lengths, thr_b, thr_r)
+
+    counts = stack.counts(reads, lengths)
+    ref_b = np.asarray(stack.max_counts(counts, thr_b))
+    ref_r = np.asarray(stack.max_counts(counts, thr_r))
+    np.testing.assert_array_equal(np.asarray(mb), ref_b)
+    np.testing.assert_array_equal(np.asarray(mr), ref_r)
+
+
+def test_sharded_rejects_indivisible():
+    rng = np.random.default_rng(3)
+    filters = _rand_filters(rng, words_each=1)  # stack W=2, bins axis 4
+    mesh = make_mesh({DATA_AXIS: 2, BINS_AXIS: 4})
+    with pytest.raises(ValueError, match="divide"):
+        ShardedFilterStack(FilterStack(filters), mesh)
+
+
+def test_train_step_decreases_loss():
+    import optax
+
+    from readbouncer_tpu.models.train import (
+        init_gru_params,
+        make_train_step,
+        synthetic_ctc_batch,
+    )
+
+    rng = np.random.default_rng(0)
+    params = init_gru_params(jax.random.PRNGKey(1), hidden=16, window=8)
+    optimizer = optax.adam(5e-3)
+    opt_state = optimizer.init(params)
+    step = make_train_step(optimizer)
+    batch = synthetic_ctc_batch(rng, batch=8, frames_t=32, window=8, max_label=6)
+    losses = []
+    for _ in range(8):
+        params, opt_state, loss = step(params, opt_state, batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_sharded_train_step_matches_single(tmp_path):
+    import optax
+
+    from readbouncer_tpu.models.train import (
+        init_gru_params,
+        make_sharded_train_step,
+        make_train_step,
+        synthetic_ctc_batch,
+    )
+
+    rng = np.random.default_rng(0)
+    mesh = make_mesh({DATA_AXIS: 8, BINS_AXIS: 1})
+    optimizer = optax.adam(1e-3)
+    batch = synthetic_ctc_batch(rng, batch=16, frames_t=24, window=8, max_label=6)
+
+    p1 = init_gru_params(jax.random.PRNGKey(2), hidden=16, window=8)
+    s1 = optimizer.init(p1)
+    _, _, loss_single = make_train_step(optimizer)(p1, s1, batch)
+
+    p2 = init_gru_params(jax.random.PRNGKey(2), hidden=16, window=8)
+    s2 = optimizer.init(p2)
+    _, _, loss_sharded = make_sharded_train_step(mesh, optimizer)(p2, s2, batch)
+
+    np.testing.assert_allclose(
+        float(loss_single), float(loss_sharded), rtol=1e-5
+    )
+
+
+def test_graft_entry_contract():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (args[0].shape[0], args[0].shape[1], 5)
+
+    ge.dryrun_multichip(8)
