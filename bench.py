@@ -21,10 +21,10 @@ import numpy as np
 BASELINE_READS_PER_SEC = 506.0  # reference README.md:253-263
 
 GENOME_LEN = 300_000
-N_READS = 20_480
+N_READS = 40_960
 READ_LEN = 1_000
 ERROR_RATE = 0.1
-BATCH_SIZE = 2_048
+BATCH_SIZE = 8_192
 
 
 def synth_genome(rng: np.random.Generator, n: int) -> str:

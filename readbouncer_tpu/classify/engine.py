@@ -32,6 +32,7 @@ from pathlib import Path
 
 import numpy as np
 
+from readbouncer_tpu.classify.fused import make_fused_classify_fn
 from readbouncer_tpu.classify.math import ci_and_threshold_batch
 from readbouncer_tpu.classify.policy import classify_decisions
 from readbouncer_tpu.fastio.fasta import FastaWriter, read_records
@@ -74,9 +75,26 @@ class ClassifyResults:
         return "\n".join(lines)
 
 
+try:  # native batch packer (native/rbt_native.cpp); Python fallback below
+    from readbouncer_tpu import _native as _rbt_native
+except ImportError:  # pragma: no cover - environment without the build
+    _rbt_native = None
+
+
 def encode_batch(seqs: list[str], length: int, batch: int | None = None):
     """Encode + right-pad sequences to a fixed [R, length] u8 array."""
     R = batch if batch is not None else len(seqs)
+    if _rbt_native is not None:
+        buf, lens_buf = _rbt_native.encode_batch(seqs, length)
+        enc = np.frombuffer(buf, dtype=np.uint8).reshape(len(seqs), length)
+        enc_lens = np.frombuffer(lens_buf, dtype=np.int32)
+        if R == len(seqs):
+            return enc, enc_lens
+        out = np.zeros((R, length), dtype=np.uint8)
+        lens = np.zeros(R, dtype=np.int32)
+        out[: len(seqs)] = enc
+        lens[: len(seqs)] = enc_lens
+        return out, lens
     out = np.zeros((R, length), dtype=np.uint8)
     lens = np.zeros(R, dtype=np.int32)
     for i, s in enumerate(seqs):
@@ -111,6 +129,7 @@ class ClassifyEngine:
         self.chunk_length = chunk_length
         self.max_chunks = max_chunks
         self.batch_size = batch_size
+        self._fused = None  # built lazily (make_fused_classify_fn)
 
     def _stack_counts(self, stack: FilterStack, frags, lens, retry: bool):
         counts = stack.counts(frags, lens)
@@ -147,10 +166,51 @@ class ClassifyEngine:
         return classify_decisions(t_base, d_base, t_retry, d_retry)
 
     def classify_sequences(self, seqs: list[str]):
-        """Full chunk-wave classification of a list of sequences.
+        """Classify a list of sequences (fused whole-read device path).
 
         Returns (classified[N] bool, best_target[N] int, attempts[N] int).
         Too-short filtering is the caller's concern.
+
+        One device call per batch: all chunks of every read are scored
+        speculatively on device and the first classified chunk wins
+        (classify/fused.py) — identical decisions to the reference's
+        chunk loop with ~1 host<->device round trip instead of
+        2 x max_chunks.  Batches are dispatched asynchronously and
+        collected at the end, so transfers and compute pipeline.
+        """
+        if self._fused is None:
+            self._fused = make_fused_classify_fn(
+                self.targets,
+                self.depletes,
+                self.chunk_length,
+                self.max_chunks,
+                self.error_rate,
+                self.significance,
+            )
+        n = len(seqs)
+        L = self.chunk_length * self.max_chunks
+        futures = []
+        for start in range(0, n, self.batch_size):
+            part = seqs[start : start + self.batch_size]
+            reads, lens = encode_batch(part, L, batch=self.batch_size)
+            futures.append((len(part), self._fused(reads, lens)))
+        classified = np.zeros(n, dtype=bool)
+        best = np.full(n, -1, dtype=np.int64)
+        attempts = np.zeros(n, dtype=np.int64)
+        pos = 0
+        for m, (ok, b, att) in futures:
+            classified[pos : pos + m] = np.asarray(ok)[:m]
+            best[pos : pos + m] = np.asarray(b)[:m]
+            attempts[pos : pos + m] = np.asarray(att)[:m]
+            pos += m
+        return classified, best, attempts
+
+    def classify_sequences_waves(self, seqs: list[str]):
+        """Chunk-wave implementation (one device pass per wave).
+
+        Reference-shaped control flow kept as the semantics oracle for
+        the fused path (tests assert equality); the fused path is the
+        production route.
         """
         n = len(seqs)
         classified = np.zeros(n, dtype=bool)

@@ -1,0 +1,264 @@
+"""Fused whole-read classification: ONE device call per read batch.
+
+Motivation: the TPU is reached through a network tunnel, so a host<->device
+round trip costs ~35 ms while the whole 2048-read count pass costs ~0.5 ms
+on device.  The reference's control flow (chunk loop with early exit per
+read, src/main/classify.hpp:262-299) would cost one round trip per wave
+per filter stack; here every chunk of every read is classified
+speculatively in a single XLA program and the "first chunk that
+classifies wins" reduction happens on device — decisions are provably
+identical because a classified read's later chunks are simply discarded.
+
+Components:
+
+* threshold lookup tables — the CI/threshold math stays on the host in
+  float64 (SURVEY.md §7 Hard Parts #7) but is precomputed for every
+  possible chunk length (0..chunk_length) and baked into the program as
+  constants; the device just does a table lookup per fragment.
+* device-side decision policy — exact jnp ports of
+  classify/policy.py's classify_decisions / live_decisions.
+* a jitted program per (batch shape, filter geometry): reads [R, C*cl]
+  -> (classified [R], best_target [R], attempts [R]).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from readbouncer_tpu.classify.math import ci_and_threshold_batch
+from readbouncer_tpu.ibf.query import (
+    FilterSegment,
+    FilterStack,
+    _counts_impl,
+    _max_counts_impl,
+)
+
+__all__ = [
+    "threshold_table",
+    "jax_best_filter_index",
+    "jax_classify_decisions",
+    "jax_live_decisions",
+    "make_fused_classify_fn",
+    "make_fused_live_fn",
+]
+
+
+def threshold_table(
+    max_len: int, kmer_size: int, error_rate: float, significance: float
+) -> np.ndarray:
+    """uint32[max_len+1] effective uint16-wrapped thresholds per length.
+
+    Computed on host in float64 (bit-identical to classify/math.py) and
+    embedded in the device program as a constant.
+    """
+    lens = np.arange(max_len + 1, dtype=np.int64)
+    return ci_and_threshold_batch(lens, kmer_size, error_rate, significance)
+
+
+def jax_best_filter_index(counts: jnp.ndarray) -> jnp.ndarray:
+    """First-max argmax per row; -1 where the max is 0 (policy.py port)."""
+    best = jnp.argmax(counts, axis=1)
+    return jnp.where(jnp.max(counts, axis=1) > 0, best, -1)
+
+
+def jax_classify_decisions(t_base, d_base, t_retry, d_retry):
+    """Device port of policy.classify_decisions (same None semantics)."""
+    have_t = t_base is not None and t_base.shape[1] > 0
+    have_d = d_base is not None and d_base.shape[1] > 0
+    if have_t and have_d:
+        tmax = jnp.max(t_base, axis=1)
+        dmax = jnp.max(d_base, axis=1)
+        tmax2 = jnp.max(t_retry, axis=1)
+        dmax2 = jnp.max(d_retry, axis=1)
+        both = (tmax > 0) & (dmax > 0)
+        retry_ok = (tmax2 > 0) & (dmax2 == 0)
+        classified = ((tmax > 0) & (dmax == 0)) | (both & retry_ok)
+        best = jax_best_filter_index(t_base)
+        best = jnp.where(classified, best, -1)
+        return classified & (best >= 0), best
+    if have_d:
+        dbest = jax_best_filter_index(d_base)
+        return dbest > -1, jnp.full(d_base.shape[0], -1, dtype=jnp.int32)
+    best = jax_best_filter_index(t_base)
+    return best != -1, best
+
+
+def jax_live_decisions(d_base, t_base, d_retry, t_retry):
+    """Device port of policy.live_decisions (0/1/2 decisions)."""
+    have_t = t_base is not None and t_base.shape[1] > 0
+    have_d = d_base is not None and d_base.shape[1] > 0
+    if have_t and have_d:
+        dmax = jnp.max(d_base, axis=1)
+        tmax = jnp.max(t_base, axis=1)
+        dmax2 = jnp.max(d_retry, axis=1)
+        tmax2 = jnp.max(t_retry, axis=1)
+        out = jnp.zeros(dmax.shape[0], dtype=jnp.int32)
+        out = jnp.where((dmax > 0) & (tmax == 0), 1, out)
+        both = (dmax > 0) & (tmax > 0)
+        out = jnp.where(both & (dmax2 > 0) & (tmax2 == 0), 1, out)
+        out = jnp.where((dmax == 0) & (tmax > 0), 2, out)
+        return out
+    if have_d:
+        return jnp.where(jnp.max(d_base, axis=1) > 0, 1, 0)
+    return jnp.where(jnp.max(t_base, axis=1) > 0, 2, 1)
+
+
+def _stack_dual_max(stack: FilterStack, frags, lens, tab_base, tab_retry):
+    """counts once, per-filter maxes at both threshold tables."""
+    counts = _counts_impl(
+        stack.bits,
+        frags,
+        lens,
+        k=stack.kmer_size,
+        h=stack.hash_functions,
+        rows=stack.rows,
+    )
+    thr_b = jnp.take(tab_base, lens)
+    thr_r = jnp.take(tab_retry, lens)
+    mb = _max_counts_impl(counts, thr_b, stack.bin_mask, segments=stack._seg_spec)
+    mr = _max_counts_impl(counts, thr_r, stack.bin_mask, segments=stack._seg_spec)
+    return mb, mr
+
+
+def _plan_stacks(targets: FilterStack | None, depletes: FilterStack | None):
+    """Merge both filter kinds into ONE stack when geometry matches.
+
+    Target and deplete filters built with the same (k, h, rows) share
+    hash rows, so their bin blocks concatenate into a single bits matrix:
+    one gather pass serves both kinds (halving the gather count — the
+    kernel's bottleneck) where the reference fans out per-filter async
+    tasks (src/IBF/IBFClassify.cpp:256-259, 315-341).
+    """
+    if targets is None or depletes is None:
+        return None, 0
+    if (targets.kmer_size, targets.hash_functions, targets.rows) != (
+        depletes.kmer_size,
+        depletes.hash_functions,
+        depletes.rows,
+    ):
+        return None, 0
+    combined = FilterStack.__new__(FilterStack)
+    combined.kmer_size = targets.kmer_size
+    combined.hash_functions = targets.hash_functions
+    combined.rows = targets.rows
+    combined.interpret = targets.interpret
+    off = targets.total_bins
+    combined.segments = list(targets.segments) + [
+        FilterSegment(s.name, s.bin_offset + off, s.num_bins, s.padded_bins)
+        for s in depletes.segments
+    ]
+    combined.total_bins = off + depletes.total_bins
+    combined.words = combined.total_bins // 32
+    combined.bits = jnp.concatenate(
+        [jnp.asarray(targets.bits), jnp.asarray(depletes.bits)], axis=1
+    )
+    combined.bin_mask = jnp.concatenate(
+        [jnp.asarray(targets.bin_mask), jnp.asarray(depletes.bin_mask)]
+    )
+    combined._seg_spec = tuple(
+        (s.bin_offset, s.padded_bins) for s in combined.segments
+    )
+    return combined, targets.num_filters
+
+
+def make_fused_classify_fn(
+    targets: FilterStack | None,
+    depletes: FilterStack | None,
+    chunk_length: int,
+    max_chunks: int,
+    error_rate: float,
+    significance: float,
+):
+    """Build the jitted whole-read classifier.
+
+    Returned fn: (reads [R, max_chunks*chunk_length] u8, lengths [R] i32)
+    -> (classified [R] bool, best_target [R] i32, attempts [R] i32).
+    """
+    cl, C = chunk_length, max_chunks
+    combined, n_targets = _plan_stacks(targets, depletes)
+    tabs = {}
+    for name, stack in (("t", targets), ("d", depletes)):
+        if stack is None:
+            continue
+        tabs[name + "b"] = jnp.asarray(
+            threshold_table(cl, stack.kmer_size, error_rate, significance)
+        )
+        tabs[name + "r"] = jnp.asarray(
+            threshold_table(cl, stack.kmer_size, error_rate - 0.02, significance)
+        )
+
+    def fn(reads: jnp.ndarray, lengths: jnp.ndarray):
+        R = reads.shape[0]
+        frags = reads.reshape(R * C, cl)
+        clens = jnp.clip(
+            lengths[:, None] - jnp.arange(C, dtype=lengths.dtype)[None, :] * cl,
+            0,
+            cl,
+        )  # [R, C]
+        lens_flat = clens.reshape(-1)
+        t_b = t_r = d_b = d_r = None
+        if combined is not None:
+            mb, mr = _stack_dual_max(combined, frags, lens_flat, tabs["tb"], tabs["tr"])
+            t_b, d_b = mb[:, :n_targets], mb[:, n_targets:]
+            t_r, d_r = mr[:, :n_targets], mr[:, n_targets:]
+        else:
+            if targets is not None:
+                t_b, t_r = _stack_dual_max(targets, frags, lens_flat, tabs["tb"], tabs["tr"])
+            if depletes is not None:
+                d_b, d_r = _stack_dual_max(depletes, frags, lens_flat, tabs["db"], tabs["dr"])
+        ok_flat, best_flat = jax_classify_decisions(t_b, d_b, t_r, d_r)
+        ok = ok_flat.reshape(R, C)
+        best = best_flat.reshape(R, C)
+        first = jnp.argmax(ok, axis=1)  # first classified chunk
+        classified = jnp.any(ok, axis=1)
+        best_read = jnp.take_along_axis(best, first[:, None], axis=1)[:, 0]
+        avail = jnp.sum((clens > 0).astype(jnp.int32), axis=1)
+        attempts = jnp.where(classified, first.astype(jnp.int32) + 1, avail)
+        return classified, jnp.where(classified, best_read, -1), attempts
+
+    return jax.jit(fn)
+
+
+def make_fused_live_fn(
+    targets: FilterStack | None,
+    depletes: FilterStack | None,
+    max_seq_len: int,
+    error_rate: float,
+    significance: float,
+):
+    """Build the jitted live decision step (check_unblock for a batch).
+
+    Returned fn: (reads [R, max_seq_len] u8, lengths [R] i32)
+    -> decisions [R] i32 (0 continue / 1 unblock / 2 stop_receiving).
+    """
+    combined, n_targets = _plan_stacks(targets, depletes)
+    tabs = {}
+    for name, stack in (("t", targets), ("d", depletes)):
+        if stack is None:
+            continue
+        tabs[name + "b"] = jnp.asarray(
+            threshold_table(max_seq_len, stack.kmer_size, error_rate, significance)
+        )
+        tabs[name + "r"] = jnp.asarray(
+            threshold_table(max_seq_len, stack.kmer_size, error_rate - 0.02, significance)
+        )
+
+    def fn(reads: jnp.ndarray, lengths: jnp.ndarray):
+        lens = jnp.minimum(lengths, max_seq_len)
+        t_b = t_r = d_b = d_r = None
+        if combined is not None:
+            mb, mr = _stack_dual_max(combined, reads, lens, tabs["tb"], tabs["tr"])
+            t_b, d_b = mb[:, :n_targets], mb[:, n_targets:]
+            t_r, d_r = mr[:, :n_targets], mr[:, n_targets:]
+        else:
+            if targets is not None:
+                t_b, t_r = _stack_dual_max(targets, reads, lens, tabs["tb"], tabs["tr"])
+            if depletes is not None:
+                d_b, d_r = _stack_dual_max(depletes, reads, lens, tabs["db"], tabs["dr"])
+        return jax_live_decisions(d_b, t_b, d_r, t_r)
+
+    return jax.jit(fn)

@@ -73,9 +73,19 @@ def _iter_fastq(f) -> Iterator[SeqRecord]:
 _FASTQ_SUFFIXES = {".fastq", ".fq"}
 
 
+try:  # native bulk parser (native/rbt_native.cpp); Python fallback below
+    from readbouncer_tpu import _native as _rbt_native
+except ImportError:  # pragma: no cover - environment without the build
+    _rbt_native = None
+
+
 def read_records(path: str | Path, first_word_id: bool = False) -> Iterator[SeqRecord]:
     """Stream records from a FASTA/FASTQ file (gzip supported by suffix)."""
     path = Path(path)
+    if _rbt_native is not None and path.suffix != ".gz":
+        for rec_id, seq in _rbt_native.read_records(str(path), first_word_id):
+            yield SeqRecord(rec_id, seq.decode("ascii"))
+        return
     suffixes = [s.lower() for s in path.suffixes]
     is_fastq = any(s in _FASTQ_SUFFIXES for s in suffixes)
     with _open_text(path) as f:

@@ -190,9 +190,20 @@ def _counts_impl(
     h: int,
     rows: int,
 ) -> jnp.ndarray:
+    """Per-bin window-match counts, int32 [R, 2, W*32].
+
+    The per-bin accumulation is **bit-sliced**: instead of expanding every
+    window's 32-bin membership word to 32 integer lanes (a [R,2,wc,W,32]
+    intermediate whose HBM traffic dominates the kernel), counts are kept
+    as packed carry-save bit planes [R,2,W] u32 — adding one window's
+    membership word is a ripple carry (3 VPU ops per plane) on arrays 32x
+    smaller.  The planes are expanded to integers once at the end.  The
+    plane count is ceil(log2(L-k+2)) so counts are exact for any L.
+    """
     R, L = reads.shape
     W = bits.shape[1]
     n = L - k + 1
+    n_planes = max(int(n).bit_length(), 1)
     codes = kmer_codes_jnp(reads, k)  # [R, 2, n]
     n_valid = jnp.maximum(lengths - (k - 1), 0)  # [R]
 
@@ -202,9 +213,8 @@ def _counts_impl(
     # [steps, R, 2, wc]
     codes = jnp.moveaxis(codes.reshape(R, 2, n_pad // wc, wc), 2, 0)
     rows_u32 = jnp.uint32(rows)
-    shifts = jnp.arange(32, dtype=jnp.uint32)
 
-    def step(acc, inp):
+    def step(planes, inp):
         codes_c, base = inp  # [R, 2, wc], scalar window offset
         anded = None
         for i in range(h):
@@ -214,13 +224,27 @@ def _counts_impl(
             anded = g if anded is None else (anded & g)
         win_idx = base + jnp.arange(wc, dtype=jnp.int32)  # [wc]
         valid = win_idx[None, :] < n_valid[:, None]  # [R, wc]
-        bitsel = (anded[..., None] >> shifts) & jnp.uint32(1)  # [R, 2, wc, W, 32]
-        bitsel = bitsel.astype(jnp.int32) * valid[:, None, :, None, None]
-        return acc + jnp.sum(bitsel, axis=2), None
+        anded = jnp.where(valid[:, None, :, None], anded, jnp.uint32(0))
+        for s in range(wc):
+            carry = anded[:, :, s, :]  # [R, 2, W]
+            new_planes = []
+            for j in range(n_planes):
+                new_planes.append(planes[j] ^ carry)
+                carry = planes[j] & carry
+            planes = tuple(new_planes)
+        return planes, None
 
     bases = jnp.arange(n_pad // wc, dtype=jnp.int32) * wc
-    acc0 = jnp.zeros((R, 2, W, 32), dtype=jnp.int32)
-    counts, _ = jax.lax.scan(step, acc0, (codes, bases))
+    planes0 = tuple(
+        jnp.zeros((R, 2, W), dtype=jnp.uint32) for _ in range(n_planes)
+    )
+    planes, _ = jax.lax.scan(step, planes0, (codes, bases))
+    # expand the 8 packed planes to per-bin integer counts (once)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    counts = jnp.zeros((R, 2, W, 32), dtype=jnp.int32)
+    for j in range(n_planes):
+        bit = (planes[j][..., None] >> shifts) & jnp.uint32(1)
+        counts = counts + (bit.astype(jnp.int32) << j)
     return counts.reshape(R, 2, W * 32)
 
 

@@ -71,6 +71,9 @@ class GRUBasecallerModel:
     frame_stride: int = 5
     dtype: jnp.dtype = jnp.float32
     precision: str = "highest"
+    # "xla" = lax.scan recurrence; "pallas" = VMEM-resident Pallas kernel
+    # (ops/gru_pallas.py); "auto" picks pallas on TPU backends
+    backend: str = "auto"
 
     def __post_init__(self):
         w = self.weights
@@ -97,9 +100,22 @@ class GRUBasecallerModel:
                 for l in w.layers
             ],
         }
-        self._logits = jax.jit(
-            functools.partial(gru_logits, self.params, precision=self.precision)
-        )
+        backend = self.backend
+        if backend == "auto":
+            backend = (
+                "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+            )
+        if backend == "pallas":
+            from readbouncer_tpu.ops.gru_pallas import gru_logits_pallas
+
+            fwd = functools.partial(
+                gru_logits_pallas, self.params, precision=self.precision
+            )
+        else:
+            fwd = functools.partial(
+                gru_logits, self.params, precision=self.precision
+            )
+        self._logits = jax.jit(fwd)
 
     @property
     def hidden(self) -> int:

@@ -34,12 +34,11 @@ from pathlib import Path
 import numpy as np
 
 from readbouncer_tpu.classify.engine import encode_batch
-from readbouncer_tpu.classify.math import ci_and_threshold_batch
+from readbouncer_tpu.classify.fused import make_fused_live_fn
 from readbouncer_tpu.classify.policy import (
     DECISION_NONE,
     DECISION_STOP_RECEIVING,
     DECISION_UNBLOCK,
-    live_decisions,
 )
 from readbouncer_tpu.fastio.fasta import FastaWriter
 from readbouncer_tpu.ibf.query import FilterStack
@@ -76,18 +75,14 @@ class LiveClassifier:
         self.targets = FilterStack(target_filters) if target_filters else None
         self.depletes = FilterStack(deplete_filters) if deplete_filters else None
         self.cfg = cfg
-
-    def _max_counts(self, stack: FilterStack, batch, lens):
-        counts = stack.counts(batch, lens)
-        thr_b = ci_and_threshold_batch(
-            lens, stack.kmer_size, self.cfg.error_rate, self.cfg.significance
-        )
-        thr_r = ci_and_threshold_batch(
-            lens, stack.kmer_size, self.cfg.error_rate - 0.02, self.cfg.significance
-        )
-        return (
-            np.asarray(stack.max_counts(counts, thr_b)),
-            np.asarray(stack.max_counts(counts, thr_r)),
+        # fused device step: one host<->device round trip per batch
+        # (counts + threshold tables + live policy in one XLA program)
+        self._fused = make_fused_live_fn(
+            self.targets,
+            self.depletes,
+            cfg.max_seq_len,
+            cfg.error_rate,
+            cfg.significance,
         )
 
     def decide(self, seqs: list[str]) -> np.ndarray:
@@ -96,17 +91,13 @@ class LiveClassifier:
             return np.zeros(0, dtype=np.int64)
         out = np.zeros(len(seqs), dtype=np.int64)
         B = self.cfg.batch_size
+        futures = []
         for start in range(0, len(seqs), B):
             part = seqs[start : start + B]
             batch, lens = encode_batch(part, self.cfg.max_seq_len, batch=B)
-            t_b = t_r = d_b = d_r = None
-            if self.targets is not None:
-                t_b, t_r = self._max_counts(self.targets, batch, lens)
-            if self.depletes is not None:
-                d_b, d_r = self._max_counts(self.depletes, batch, lens)
-            out[start : start + len(part)] = live_decisions(d_b, t_b, d_r, t_r)[
-                : len(part)
-            ]
+            futures.append((start, len(part), self._fused(batch, lens)))
+        for start, m, d in futures:
+            out[start : start + m] = np.asarray(d)[:m]
         return out
 
 

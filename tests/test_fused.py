@@ -1,0 +1,124 @@
+"""Fused whole-read device path vs the chunk-wave oracle."""
+
+import numpy as np
+import pytest
+
+from readbouncer_tpu.classify.engine import ClassifyEngine
+from readbouncer_tpu.classify.fused import (
+    jax_classify_decisions,
+    jax_live_decisions,
+    make_fused_live_fn,
+    threshold_table,
+)
+from readbouncer_tpu.classify.math import ci_and_threshold_batch
+from readbouncer_tpu.classify.policy import classify_decisions, live_decisions
+from readbouncer_tpu.ibf.build import build_ibf
+from readbouncer_tpu.ibf.params import IBFParams
+from readbouncer_tpu.ibf.query import FilterStack
+
+
+@pytest.fixture(scope="module")
+def filters(tmp_path_factory):
+    rng = np.random.default_rng(17)
+    td = tmp_path_factory.mktemp("fused")
+    bases = np.array(list("ACGT"))
+    params = IBFParams(kmer_size=13, fragment_length=2000)
+    genomes, tf, df = {}, [], []
+    for i in range(2):
+        g = "".join(bases[rng.integers(0, 4, size=8000)])
+        genomes[f"t{i}"] = g
+        p = td / f"t{i}.fasta"
+        p.write_text(f">t{i}\n{g}\n")
+        tf.append(build_ibf([p], params, name=f"t{i}")[0])
+    g = "".join(bases[rng.integers(0, 4, size=8000)])
+    genomes["d"] = g
+    p = td / "d.fasta"
+    p.write_text(f">d\n{g}\n")
+    df.append(build_ibf([p], params, name="d")[0])
+    return genomes, tf, df
+
+
+def _mixed_reads(genomes, rng, n=64, length=520):
+    bases = np.array(list("ACGT"))
+    seqs = []
+    keys = list(genomes)
+    for i in range(n):
+        if i % 4 == 3:
+            seqs.append("".join(bases[rng.integers(0, 4, size=length)]))
+        else:
+            g = genomes[keys[i % len(keys)]]
+            s = rng.integers(0, len(g) - length)
+            arr = np.frombuffer(g[s : s + length].encode(), np.uint8).copy()
+            mut = rng.random(length) < 0.08
+            arr[mut] = np.frombuffer(b"ACGT", np.uint8)[
+                rng.integers(0, 4, size=int(mut.sum()))
+            ]
+            seqs.append(bytes(arr).decode())
+    # a few short / odd-length reads to hit partial chunks
+    seqs[0] = seqs[0][:251]
+    seqs[1] = seqs[1][:260]
+    return seqs
+
+
+@pytest.mark.parametrize("mode", ["both", "targets_only", "depletes_only"])
+def test_fused_matches_wave_oracle(filters, mode):
+    genomes, tf, df = filters
+    rng = np.random.default_rng(5)
+    seqs = _mixed_reads(genomes, rng)
+    kw = dict(error_rate=0.1, chunk_length=250, max_chunks=2, batch_size=32)
+    if mode == "targets_only":
+        engine = ClassifyEngine(tf, [], **kw)
+    elif mode == "depletes_only":
+        engine = ClassifyEngine([], df, **kw)
+    else:
+        engine = ClassifyEngine(tf, df, **kw)
+    c1, b1, a1 = engine.classify_sequences(seqs)
+    c2, b2, a2 = engine.classify_sequences_waves(seqs)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(b1, b2)
+    np.testing.assert_array_equal(a1, a2)
+
+
+def test_threshold_table_matches_batch_math():
+    tab = threshold_table(300, 13, 0.1, 0.95)
+    lens = np.arange(301)
+    np.testing.assert_array_equal(tab, ci_and_threshold_batch(lens, 13, 0.1, 0.95))
+
+
+def test_jax_policies_match_numpy():
+    rng = np.random.default_rng(0)
+    R, F = 64, 3
+    args = [rng.integers(0, 3, size=(R, F)) for _ in range(4)]
+    c_np, b_np = classify_decisions(*args)
+    c_j, b_j = jax_classify_decisions(*[a for a in args])
+    np.testing.assert_array_equal(np.asarray(c_j), c_np)
+    np.testing.assert_array_equal(np.asarray(b_j), b_np)
+
+    d_np = live_decisions(*args)
+    d_j = jax_live_decisions(*[a for a in args])
+    np.testing.assert_array_equal(np.asarray(d_j), d_np)
+
+
+def test_fused_live_matches_policy(filters):
+    genomes, tf, df = filters
+    rng = np.random.default_rng(9)
+    seqs = _mixed_reads(genomes, rng, n=32, length=400)
+    stacks_t = FilterStack(tf)
+    stacks_d = FilterStack(df)
+    fn = make_fused_live_fn(stacks_t, stacks_d, 512, 0.1, 0.95)
+
+    from readbouncer_tpu.classify.engine import encode_batch
+
+    reads, lens = encode_batch(seqs, 512)
+    got = np.asarray(fn(reads, lens))
+
+    thr = lambda s, r: ci_and_threshold_batch(lens, s.kmer_size, r, 0.95)
+    tc = stacks_t.counts(reads, lens)
+    dc = stacks_d.counts(reads, lens)
+    want = live_decisions(
+        np.asarray(stacks_d.max_counts(dc, thr(stacks_d, 0.1))),
+        np.asarray(stacks_t.max_counts(tc, thr(stacks_t, 0.1))),
+        np.asarray(stacks_d.max_counts(dc, thr(stacks_d, 0.08))),
+        np.asarray(stacks_t.max_counts(tc, thr(stacks_t, 0.08))),
+    )
+    np.testing.assert_array_equal(got, want)
