@@ -129,7 +129,25 @@ class ClassifyEngine:
         self.chunk_length = chunk_length
         self.max_chunks = max_chunks
         self.batch_size = batch_size
-        self._fused = None  # built lazily (make_fused_classify_fn)
+        # jitted fused programs keyed by (n_chunks, attempt_offset),
+        # built lazily (make_fused_classify_fn)
+        self._fused_cache: dict[tuple[int, int], object] = {}
+
+    def _fused_fn(self, n_chunks: int, attempt_offset: int):
+        key = (n_chunks, attempt_offset)
+        fn = self._fused_cache.get(key)
+        if fn is None:
+            fn = make_fused_classify_fn(
+                self.targets,
+                self.depletes,
+                self.chunk_length,
+                n_chunks,
+                self.error_rate,
+                self.significance,
+                attempt_offset=attempt_offset,
+            )
+            self._fused_cache[key] = fn
+        return fn
 
     def _stack_counts(self, stack: FilterStack, frags, lens, retry: bool):
         counts = stack.counts(frags, lens)
@@ -171,38 +189,79 @@ class ClassifyEngine:
         Returns (classified[N] bool, best_target[N] int, attempts[N] int).
         Too-short filtering is the caller's concern.
 
-        One device call per batch: all chunks of every read are scored
-        speculatively on device and the first classified chunk wins
-        (classify/fused.py) — identical decisions to the reference's
-        chunk loop with ~1 host<->device round trip instead of
-        2 x max_chunks.  Batches are dispatched asynchronously and
-        collected at the end, so transfers and compute pipeline.
+        Two-phase speculative scoring, one device call per batch per
+        phase (classify/fused.py).  Phase A scores only chunk 0 of every
+        read — in adaptive-sampling workloads most reads resolve there.
+        Reads that chunk 0 leaves unresolved are compacted and re-scored
+        in phase B on exactly their remaining chunks (bucketed by how
+        many chunks their length provides, so a 4-chunk read never pays
+        for a 5-chunk program).  Decisions are identical to the
+        reference's chunk loop (src/main/classify.hpp:262-299): each
+        chunk's decision is independent and the first classified chunk
+        wins.  Batches within a phase are dispatched asynchronously so
+        transfers and compute pipeline.
         """
-        if self._fused is None:
-            self._fused = make_fused_classify_fn(
-                self.targets,
-                self.depletes,
-                self.chunk_length,
-                self.max_chunks,
-                self.error_rate,
-                self.significance,
-            )
         n = len(seqs)
-        L = self.chunk_length * self.max_chunks
-        futures = []
-        for start in range(0, n, self.batch_size):
-            part = seqs[start : start + self.batch_size]
-            reads, lens = encode_batch(part, L, batch=self.batch_size)
-            futures.append((len(part), self._fused(reads, lens)))
+        cl, C = self.chunk_length, self.max_chunks
+        L = cl * C
+        B = self.batch_size
         classified = np.zeros(n, dtype=bool)
         best = np.full(n, -1, dtype=np.int64)
         attempts = np.zeros(n, dtype=np.int64)
-        pos = 0
-        for m, (ok, b, att) in futures:
-            classified[pos : pos + m] = np.asarray(ok)[:m]
-            best[pos : pos + m] = np.asarray(b)[:m]
-            attempts[pos : pos + m] = np.asarray(att)[:m]
-            pos += m
+
+        # --- phase A: chunk 0 of every read --------------------------------
+        fn_a = self._fused_fn(1, 0)
+        encs, futs_a = [], []
+        for start in range(0, n, B):
+            part = seqs[start : start + B]
+            reads, lens = encode_batch(part, L, batch=B)
+            encs.append((start, len(part), reads, lens))
+            futs_a.append(fn_a(np.ascontiguousarray(reads[:, :cl]), lens))
+
+        # collect + gather unresolved multi-chunk reads
+        pend_rows, pend_lens, pend_idx = [], [], []
+        for (start, m, reads, lens), fa in zip(encs, futs_a):
+            ok, b, att = (np.asarray(x) for x in fa)
+            classified[start : start + m] = ok[:m]
+            best[start : start + m] = b[:m]
+            attempts[start : start + m] = att[:m]
+            need_b = ~ok[:m] & (lens[:m] > cl)
+            ii = np.nonzero(need_b)[0]
+            if ii.size:
+                pend_rows.append(reads[ii])
+                pend_lens.append(lens[ii])
+                pend_idx.append(ii + start)
+        if not pend_idx:
+            return classified, best, attempts
+
+        # --- phase B: remaining chunks of unresolved reads ------------------
+        rows = np.concatenate(pend_rows)
+        plens = np.concatenate(pend_lens)
+        pidx = np.concatenate(pend_idx)
+        # bucket by chunks still to score (ceil(len/cl) - 1, capped at C-1)
+        n_rest = np.minimum(-(-plens // cl), C) - 1  # [U] in 1..C-1
+        futs_b = []
+        for c_rest in np.unique(n_rest):
+            c_rest = int(c_rest)
+            sel = np.nonzero(n_rest == c_rest)[0]
+            fn_b = self._fused_fn(c_rest, 1)
+            sub_rows = rows[sel][:, cl : cl * (1 + c_rest)]
+            sub_lens = plens[sel] - cl
+            for s in range(0, len(sel), B):
+                rb = np.ascontiguousarray(sub_rows[s : s + B])
+                lb = sub_lens[s : s + B]
+                m2 = len(lb)
+                if m2 < B:
+                    rb = np.concatenate(
+                        [rb, np.zeros((B - m2, rb.shape[1]), dtype=np.uint8)]
+                    )
+                    lb = np.concatenate([lb, np.zeros(B - m2, dtype=lb.dtype)])
+                futs_b.append((pidx[sel[s : s + m2]], m2, fn_b(rb, lb)))
+        for out_idx, m2, fb in futs_b:
+            ok, b, att = (np.asarray(x) for x in fb)
+            classified[out_idx] = ok[:m2]
+            best[out_idx] = b[:m2]
+            attempts[out_idx] = att[:m2]
         return classified, best, attempts
 
     def classify_sequences_waves(self, seqs: list[str]):

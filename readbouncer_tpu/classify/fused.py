@@ -172,11 +172,17 @@ def make_fused_classify_fn(
     max_chunks: int,
     error_rate: float,
     significance: float,
+    attempt_offset: int = 0,
 ):
     """Build the jitted whole-read classifier.
 
     Returned fn: (reads [R, max_chunks*chunk_length] u8, lengths [R] i32)
     -> (classified [R] bool, best_target [R] i32, attempts [R] i32).
+
+    attempt_offset shifts the reported chunk indices: a program built for
+    chunks [off, off+max_chunks) of a longer read (the two-phase classify
+    in engine.py scores chunk 0 for everything, then only the remaining
+    chunks of still-unresolved reads).
     """
     cl, C = chunk_length, max_chunks
     combined, n_targets = _plan_stacks(targets, depletes)
@@ -217,7 +223,10 @@ def make_fused_classify_fn(
         classified = jnp.any(ok, axis=1)
         best_read = jnp.take_along_axis(best, first[:, None], axis=1)[:, 0]
         avail = jnp.sum((clens > 0).astype(jnp.int32), axis=1)
-        attempts = jnp.where(classified, first.astype(jnp.int32) + 1, avail)
+        off = jnp.int32(attempt_offset)
+        attempts = jnp.where(
+            classified, first.astype(jnp.int32) + 1 + off, avail + off
+        )
         return classified, jnp.where(classified, best_read, -1), attempts
 
     return jax.jit(fn)

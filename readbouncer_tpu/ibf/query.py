@@ -181,6 +181,34 @@ class FilterStack:
 _WINDOW_CHUNK = 128  # windows per scan step: bounds graph size and memory
 
 
+def _add_planes(a: list, b: list) -> list:
+    """Add two bit-plane numbers (lists of u32 arrays, little-endian).
+
+    Element i of the result is bit i of the per-lane sum; one full adder
+    per plane, vectorized over every array dimension.
+    """
+    out = []
+    carry = None
+    for j in range(max(len(a), len(b))):
+        aj = a[j] if j < len(a) else None
+        bj = b[j] if j < len(b) else None
+        terms = [t for t in (aj, bj, carry) if t is not None]
+        if len(terms) == 3:
+            x, y, z = terms
+            out.append(x ^ y ^ z)
+            carry = (x & y) | (z & (x ^ y))
+        elif len(terms) == 2:
+            x, y = terms
+            out.append(x ^ y)
+            carry = x & y
+        else:
+            out.append(terms[0])
+            carry = None
+    if carry is not None:
+        out.append(carry)
+    return out
+
+
 def _counts_impl(
     bits: jnp.ndarray,  # u32 [rows, W]
     reads: jnp.ndarray,  # u8  [R, L]
@@ -189,25 +217,37 @@ def _counts_impl(
     k: int,
     h: int,
     rows: int,
+    accum: str | None = None,
 ) -> jnp.ndarray:
     """Per-bin window-match counts, int32 [R, 2, W*32].
 
     The per-bin accumulation is **bit-sliced**: instead of expanding every
     window's 32-bin membership word to 32 integer lanes (a [R,2,wc,W,32]
     intermediate whose HBM traffic dominates the kernel), counts are kept
-    as packed carry-save bit planes [R,2,W] u32 — adding one window's
-    membership word is a ripple carry (3 VPU ops per plane) on arrays 32x
-    smaller.  The planes are expanded to integers once at the end.  The
-    plane count is ceil(log2(L-k+2)) so counts are exact for any L.
+    as packed bit planes [R,2,W] u32, expanded to integers once at the
+    end.  The accumulator plane count is ceil(log2(L-k+2)) so counts are
+    exact for any L.  Two equivalent accumulation strategies:
+
+    * "ripple" — fold each window's membership word into the accumulator
+      with a ripple-carry add (3 VPU ops per plane on tiny arrays).
+      Fastest on TPU (measured), but the unrolled wc x n_planes scan body
+      compiles slowly.
+    * "tree" — vectorized binary carry-save adder tree over the window
+      axis (log2(wc) levels, array halving per level), then one ripple
+      add of the step sum.  ~50-op scan body, much faster to compile;
+      the default on CPU where compile time dominates test runs.
     """
     R, L = reads.shape
     W = bits.shape[1]
     n = L - k + 1
     n_planes = max(int(n).bit_length(), 1)
+    if accum is None:
+        accum = "tree" if jax.default_backend() == "cpu" else "ripple"
     codes = kmer_codes_jnp(reads, k)  # [R, 2, n]
     n_valid = jnp.maximum(lengths - (k - 1), 0)  # [R]
 
-    wc = min(_WINDOW_CHUNK, n)
+    # power-of-two window block so the adder tree halves cleanly
+    wc = min(_WINDOW_CHUNK, 1 << max(n - 1, 1).bit_length())
     n_pad = -(-n // wc) * wc
     codes = jnp.pad(codes, ((0, 0), (0, 0), (0, n_pad - n)))
     # [steps, R, 2, wc]
@@ -225,14 +265,30 @@ def _counts_impl(
         win_idx = base + jnp.arange(wc, dtype=jnp.int32)  # [wc]
         valid = win_idx[None, :] < n_valid[:, None]  # [R, wc]
         anded = jnp.where(valid[:, None, :, None], anded, jnp.uint32(0))
-        for s in range(wc):
-            carry = anded[:, :, s, :]  # [R, 2, W]
-            new_planes = []
-            for j in range(n_planes):
-                new_planes.append(planes[j] ^ carry)
-                carry = planes[j] & carry
-            planes = tuple(new_planes)
-        return planes, None
+        if accum == "ripple":
+            for s in range(wc):
+                carry = anded[:, :, s, :]  # [R, 2, W]
+                new_planes = []
+                for j in range(n_planes):
+                    new_planes.append(planes[j] ^ carry)
+                    carry = planes[j] & carry
+                planes = tuple(new_planes)
+            return planes, None
+        # carry-save adder tree over the window axis: [R,2,m,W] halves
+        # per level, planes grow by one bit per level
+        tree = [anded]
+        m = wc
+        while m > 1:
+            half = m // 2
+            tree = _add_planes(
+                [p[:, :, :half] for p in tree], [p[:, :, half:] for p in tree]
+            )
+            m = half
+        step_sum = [p[:, :, 0, :] for p in tree]  # [R, 2, W] planes
+        summed = _add_planes(list(planes), step_sum)[:n_planes]
+        while len(summed) < n_planes:
+            summed.append(jnp.zeros_like(planes[0]))
+        return tuple(summed), None
 
     bases = jnp.arange(n_pad // wc, dtype=jnp.int32) * wc
     planes0 = tuple(
@@ -266,5 +322,5 @@ def _max_counts_impl(
     return jnp.stack(outs, axis=1)  # [R, F]
 
 
-_counts_jit = jax.jit(_counts_impl, static_argnames=("k", "h", "rows"))
+_counts_jit = jax.jit(_counts_impl, static_argnames=("k", "h", "rows", "accum"))
 _max_counts_jit = jax.jit(_max_counts_impl, static_argnames=("segments",))

@@ -145,3 +145,18 @@ def test_max_counts_and_threshold(small_filters):
     assert mx[2, 0] == 0 and mx[2, 1] == 0
     # host agrees
     assert max_count_np(ibf_a, encode_bases(reads[0]), int(thr[0])) == mx[0, 0]
+
+
+def test_accum_ripple_matches_tree():
+    """Both bit-plane accumulation strategies produce identical counts."""
+    import numpy as np
+    from readbouncer_tpu.ibf.query import _counts_impl
+
+    rng = np.random.default_rng(11)
+    rows, W, k, h = 997, 2, 5, 3
+    bits = rng.integers(0, 1 << 32, size=(rows, W), dtype=np.uint32)
+    reads = rng.integers(0, 4, size=(4, 40)).astype(np.uint8)
+    lengths = np.array([40, 17, 4, 0], dtype=np.int32)
+    a = _counts_impl(bits, reads, lengths, k=k, h=h, rows=rows, accum="ripple")
+    b = _counts_impl(bits, reads, lengths, k=k, h=h, rows=rows, accum="tree")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
