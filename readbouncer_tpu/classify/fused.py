@@ -107,10 +107,17 @@ def jax_live_decisions(d_base, t_base, d_retry, t_retry):
     return jnp.where(jnp.max(t_base, axis=1) > 0, 2, 1)
 
 
-def _stack_dual_max(stack: FilterStack, frags, lens, tab_base, tab_retry):
-    """counts once, per-filter maxes at both threshold tables."""
+def _stack_dual_max(stack: FilterStack, bits, frags, lens, tab_base, tab_retry):
+    """counts once, per-filter maxes at both threshold tables.
+
+    bits is threaded through as a runtime argument, NOT read off the
+    stack: a closure-captured device array becomes an XLA constant, and
+    large constants get a compiler-chosen padded layout that demotes the
+    Bloom-row gather from VMEM-resident (~0.2 ms) to HBM random access
+    (~100 ms per batch on v5e) — see docs/PERF_NOTES.md.
+    """
     counts = _counts_impl(
-        stack.bits,
+        bits,
         frags,
         lens,
         k=stack.kmer_size,
@@ -197,7 +204,7 @@ def make_fused_classify_fn(
             threshold_table(cl, stack.kmer_size, error_rate - 0.02, significance)
         )
 
-    def fn(reads: jnp.ndarray, lengths: jnp.ndarray):
+    def fn(bits_args, reads: jnp.ndarray, lengths: jnp.ndarray):
         R = reads.shape[0]
         frags = reads.reshape(R * C, cl)
         clens = jnp.clip(
@@ -208,14 +215,22 @@ def make_fused_classify_fn(
         lens_flat = clens.reshape(-1)
         t_b = t_r = d_b = d_r = None
         if combined is not None:
-            mb, mr = _stack_dual_max(combined, frags, lens_flat, tabs["tb"], tabs["tr"])
+            mb, mr = _stack_dual_max(
+                combined, bits_args[0], frags, lens_flat, tabs["tb"], tabs["tr"]
+            )
             t_b, d_b = mb[:, :n_targets], mb[:, n_targets:]
             t_r, d_r = mr[:, :n_targets], mr[:, n_targets:]
         else:
+            i = 0
             if targets is not None:
-                t_b, t_r = _stack_dual_max(targets, frags, lens_flat, tabs["tb"], tabs["tr"])
+                t_b, t_r = _stack_dual_max(
+                    targets, bits_args[i], frags, lens_flat, tabs["tb"], tabs["tr"]
+                )
+                i += 1
             if depletes is not None:
-                d_b, d_r = _stack_dual_max(depletes, frags, lens_flat, tabs["db"], tabs["dr"])
+                d_b, d_r = _stack_dual_max(
+                    depletes, bits_args[i], frags, lens_flat, tabs["db"], tabs["dr"]
+                )
         ok_flat, best_flat = jax_classify_decisions(t_b, d_b, t_r, d_r)
         ok = ok_flat.reshape(R, C)
         best = best_flat.reshape(R, C)
@@ -229,7 +244,14 @@ def make_fused_classify_fn(
         )
         return classified, jnp.where(classified, best_read, -1), attempts
 
-    return jax.jit(fn)
+    jfn = jax.jit(fn)
+    if combined is not None:
+        bits_args = (combined.bits,)
+    else:
+        bits_args = tuple(
+            s.bits for s in (targets, depletes) if s is not None
+        )
+    return lambda reads, lengths: jfn(bits_args, reads, lengths)
 
 
 def make_fused_live_fn(
@@ -256,18 +278,33 @@ def make_fused_live_fn(
             threshold_table(max_seq_len, stack.kmer_size, error_rate - 0.02, significance)
         )
 
-    def fn(reads: jnp.ndarray, lengths: jnp.ndarray):
+    def fn(bits_args, reads: jnp.ndarray, lengths: jnp.ndarray):
         lens = jnp.minimum(lengths, max_seq_len)
         t_b = t_r = d_b = d_r = None
         if combined is not None:
-            mb, mr = _stack_dual_max(combined, reads, lens, tabs["tb"], tabs["tr"])
+            mb, mr = _stack_dual_max(
+                combined, bits_args[0], reads, lens, tabs["tb"], tabs["tr"]
+            )
             t_b, d_b = mb[:, :n_targets], mb[:, n_targets:]
             t_r, d_r = mr[:, :n_targets], mr[:, n_targets:]
         else:
+            i = 0
             if targets is not None:
-                t_b, t_r = _stack_dual_max(targets, reads, lens, tabs["tb"], tabs["tr"])
+                t_b, t_r = _stack_dual_max(
+                    targets, bits_args[i], reads, lens, tabs["tb"], tabs["tr"]
+                )
+                i += 1
             if depletes is not None:
-                d_b, d_r = _stack_dual_max(depletes, reads, lens, tabs["db"], tabs["dr"])
+                d_b, d_r = _stack_dual_max(
+                    depletes, bits_args[i], reads, lens, tabs["db"], tabs["dr"]
+                )
         return jax_live_decisions(d_b, t_b, d_r, t_r)
 
-    return jax.jit(fn)
+    jfn = jax.jit(fn)
+    if combined is not None:
+        bits_args = (combined.bits,)
+    else:
+        bits_args = tuple(
+            s.bits for s in (targets, depletes) if s is not None
+        )
+    return lambda reads, lengths: jfn(bits_args, reads, lengths)

@@ -236,13 +236,22 @@ def _counts_impl(
       axis (log2(wc) levels, array halving per level), then one ripple
       add of the step sum.  ~50-op scan body, much faster to compile;
       the default on CPU where compile time dominates test runs.
+    * "pallas" — the TPU production path: one scan-free XLA pass emits
+      the masked AND-of-hashes membership words for every window
+      ([W, n_pad, 2R] with reads on the lane axis), and a Pallas kernel
+      (ops/ibf_count_pallas.py) does the per-bin accumulation with the
+      counters VMEM-resident.  Default on TPU (~10x the XLA variants,
+      whose accumulator state round-trips through HBM at every fusion
+      boundary — see docs/PERF_NOTES.md).
     """
     R, L = reads.shape
     W = bits.shape[1]
     n = L - k + 1
     n_planes = max(int(n).bit_length(), 1)
     if accum is None:
-        accum = "tree" if jax.default_backend() == "cpu" else "ripple"
+        accum = "tree" if jax.default_backend() == "cpu" else "pallas"
+    if accum == "pallas":
+        return _counts_pallas(bits, reads, lengths, k=k, h=h, rows=rows)
     codes = kmer_codes_jnp(reads, k)  # [R, 2, n]
     n_valid = jnp.maximum(lengths - (k - 1), 0)  # [R]
 
@@ -301,6 +310,49 @@ def _counts_impl(
     for j in range(n_planes):
         bit = (planes[j][..., None] >> shifts) & jnp.uint32(1)
         counts = counts + (bit.astype(jnp.int32) << j)
+    return counts.reshape(R, 2, W * 32)
+
+
+def _counts_pallas(
+    bits: jnp.ndarray,  # u32 [rows, W]
+    reads: jnp.ndarray,  # u8  [R, L]
+    lengths: jnp.ndarray,  # i32 [R]
+    *,
+    k: int,
+    h: int,
+    rows: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """counts via the Pallas accumulation kernel (see _counts_impl doc)."""
+    from readbouncer_tpu.ops.ibf_count_pallas import accumulate_counts_pallas
+
+    R, L = reads.shape
+    W = bits.shape[1]
+    n = L - k + 1
+    codes = kmer_codes_jnp(reads, k)  # [R, 2, n]
+    n_valid = jnp.maximum(lengths - (k - 1), 0)  # [R]
+    rows_u32 = jnp.uint32(rows)
+
+    anded = None
+    for i in range(h):
+        z = fmix32_jnp(codes * jnp.uint32(int(SEEDS[i])))
+        ridx = umulhi_u32(z, rows_u32).astype(jnp.int32)
+        g = jnp.take(bits, ridx, axis=0)  # [R, 2, n, W]
+        anded = g if anded is None else (anded & g)
+    valid = jnp.arange(n, dtype=jnp.int32)[None, :] < n_valid[:, None]  # [R, n]
+    anded = jnp.where(valid[:, None, :, None], anded, jnp.uint32(0))
+
+    # pad windows to the kernel block and fold strand into the lane axis
+    n_pad = -(-n // 128) * 128 if n > 128 else (1 << max(n - 1, 1).bit_length())
+    R2 = 2 * R
+    r2b = min(512, 1 << max(R2 - 1, 1).bit_length())
+    R2_pad = -(-R2 // r2b) * r2b
+    anded = jnp.pad(anded, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+    a_t = jnp.transpose(anded.reshape(R2, n_pad, W), (2, 1, 0))  # [W, n_pad, R2]
+    if R2_pad != R2:
+        a_t = jnp.pad(a_t, ((0, 0), (0, 0), (0, R2_pad - R2)))
+    counts_t = accumulate_counts_pallas(a_t, interpret=interpret)  # [W, 32, R2_pad]
+    counts = jnp.transpose(counts_t[:, :, :R2], (2, 0, 1))  # [R2, W, 32]
     return counts.reshape(R, 2, W * 32)
 
 
