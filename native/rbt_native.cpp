@@ -14,10 +14,12 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -204,7 +206,132 @@ PyObject* read_records(PyObject*, PyObject* args) {
     return out;
 }
 
+// ---------------------------------------------------------------------
+// insert_fragments: the IBF build hot loop in native code.
+//
+// Equivalent of the reference's reader+worker insertKmer pipeline
+// (src/IBF/IBFBuild.cpp:28,143-215) for the rbt1 hash scheme
+// (readbouncer_tpu/ibf/hashing.py): for every fragment, every forward
+// k-mer window is hashed h ways and its bit set in the fragment's bin.
+// Fragments are distributed over worker threads; bit sets use atomic
+// fetch-OR, so overlapping windows from concurrent fragments are safe
+// (unlike the reference's unsynchronized shared binid,
+// src/IBF/IBFBuild.cpp:141).
+
+// rbt1 constants — MUST match readbouncer_tpu/ibf/hashing.py.
+const uint32_t kSeeds[5] = {0x9E3779B1u, 0x85EBCA77u, 0xC2B2AE3Du,
+                            0x27D4EB2Fu, 0x165667B1u};
+
+inline uint32_t fmix32(uint32_t z) {
+    z ^= z >> 16;
+    z *= 0x85EBCA6Bu;
+    z ^= z >> 13;
+    z *= 0xC2B2AE35u;
+    z ^= z >> 16;
+    return z;
+}
+
+struct FragSpan {
+    int64_t start, end, bin;
+};
+
+// One fragment: rolling base-5 window codes -> h hashed rows -> atomic OR.
+void insert_one_fragment(uint32_t* bits, uint32_t rows, uint32_t words,
+                         const uint8_t* bases, const FragSpan& frag,
+                         int k, int h) {
+    int64_t len = frag.end - frag.start;
+    if (len < k) return;
+    const uint8_t* b = bases + frag.start;
+    uint32_t word = (uint32_t)(frag.bin / 32);
+    uint32_t mask = 1u << (frag.bin % 32);
+    // 5^(k-1) mod 2^32 for the rolling update
+    uint32_t pow5k1 = 1;
+    for (int i = 0; i < k - 1; ++i) pow5k1 *= 5u;
+    uint32_t code = 0;
+    for (int t = 0; t < k; ++t) code = code * 5u + b[t];
+    int64_t n = len - k + 1;
+    for (int64_t j = 0;;) {
+        for (int i = 0; i < h; ++i) {
+            uint32_t z = fmix32(code * kSeeds[i]);
+            uint32_t row = (uint32_t)(((uint64_t)z * rows) >> 32);
+            std::atomic_ref<uint32_t> cell(bits[(uint64_t)row * words + word]);
+            cell.fetch_or(mask, std::memory_order_relaxed);
+        }
+        if (++j >= n) break;
+        code = (code - (uint32_t)b[j - 1] * pow5k1) * 5u + b[j + k - 1];
+    }
+}
+
+// insert_fragments(bits: writable buffer u32[rows*words], rows, words,
+//                  bases: bytes (encoded ordValues), frags: bytes
+//                  (int64 [n,3] start/end/bin), k, h, threads) -> None
+PyObject* insert_fragments(PyObject*, PyObject* args) {
+    Py_buffer bits_buf;
+    Py_ssize_t rows, words;
+    const char* bases;
+    Py_ssize_t bases_n;
+    const char* frags_raw;
+    Py_ssize_t frags_n;
+    int k, h, n_threads;
+    if (!PyArg_ParseTuple(args, "w*nny#y#iii", &bits_buf, &rows, &words,
+                          &bases, &bases_n, &frags_raw, &frags_n, &k, &h,
+                          &n_threads))
+        return nullptr;
+    if (bits_buf.len < (Py_ssize_t)(rows * words * 4)) {
+        PyBuffer_Release(&bits_buf);
+        PyErr_SetString(PyExc_ValueError, "bits buffer too small");
+        return nullptr;
+    }
+    if (frags_n % (3 * 8) != 0) {
+        PyBuffer_Release(&bits_buf);
+        PyErr_SetString(PyExc_ValueError, "frags must be int64 [n,3]");
+        return nullptr;
+    }
+    if (k < 1 || k > 16 || h < 1 || h > 5) {
+        PyBuffer_Release(&bits_buf);
+        PyErr_SetString(PyExc_ValueError, "need 1<=k<=16, 1<=h<=5");
+        return nullptr;
+    }
+    size_t n_frags = (size_t)frags_n / 24;
+    const FragSpan* frags = (const FragSpan*)frags_raw;
+    uint32_t* bits = (uint32_t*)bits_buf.buf;
+    for (size_t f = 0; f < n_frags; ++f) {
+        if (frags[f].start < 0 || frags[f].end > bases_n ||
+            frags[f].bin < 0 || frags[f].bin >= (int64_t)words * 32) {
+            PyBuffer_Release(&bits_buf);
+            PyErr_SetString(PyExc_ValueError, "fragment out of range");
+            return nullptr;
+        }
+    }
+    if (n_threads < 1) n_threads = 1;
+    if ((size_t)n_threads > n_frags) n_threads = n_frags ? (int)n_frags : 1;
+    Py_BEGIN_ALLOW_THREADS;
+    if (n_threads == 1) {
+        for (size_t f = 0; f < n_frags; ++f)
+            insert_one_fragment(bits, (uint32_t)rows, (uint32_t)words,
+                                (const uint8_t*)bases, frags[f], k, h);
+    } else {
+        std::atomic<size_t> next(0);
+        std::vector<std::thread> pool;
+        pool.reserve(n_threads);
+        for (int t = 0; t < n_threads; ++t) {
+            pool.emplace_back([&]() {
+                for (size_t f = next.fetch_add(1); f < n_frags;
+                     f = next.fetch_add(1))
+                    insert_one_fragment(bits, (uint32_t)rows, (uint32_t)words,
+                                        (const uint8_t*)bases, frags[f], k, h);
+            });
+        }
+        for (auto& th : pool) th.join();
+    }
+    Py_END_ALLOW_THREADS;
+    PyBuffer_Release(&bits_buf);
+    Py_RETURN_NONE;
+}
+
 PyMethodDef kMethods[] = {
+    {"insert_fragments", insert_fragments, METH_VARARGS,
+     "insert_fragments(bits, rows, words, bases, frags_i64x3, k, h, threads)"},
     {"encode_batch", encode_batch, METH_VARARGS,
      "encode_batch(seqs, length) -> (u8 bytes [R*length], i32 bytes [R])"},
     {"encode", encode, METH_O, "encode(seq) -> ordValue bytes"},

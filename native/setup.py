@@ -17,7 +17,7 @@ setup(
         Extension(
             "readbouncer_tpu._native",
             sources=[str(ROOT / "rbt_native.cpp")],
-            extra_compile_args=["-O3", "-std=c++17", "-Wall"],
+            extra_compile_args=["-O3", "-std=c++20", "-Wall"],
             language="c++",
         )
     ],

@@ -21,9 +21,16 @@ Faithful to the reference build semantics:
 * sequences shorter than kmer_size are skipped as invalid
   (reference: src/IBF/IBFBuild.cpp:70-73).
 
-The bit-setting itself is vectorized numpy (build is offline/one-shot);
-`insert_sequence` computes all (row, word, bitmask) triples for a
-fragment in one shot and scatter-ORs them.
+The bit-setting hot loop has two implementations:
+
+* native (default when built): ``_native.insert_fragments`` — the rbt1
+  hash + atomic scatter-OR in C++, fragments distributed over worker
+  threads — the TPU-rebuild equivalent of the reference's reader+worker
+  insert pipeline (src/IBF/IBFBuild.cpp:28,153-156).  ~100x the numpy
+  path; a 100 Mb genome builds in seconds (scripts/bench_build.py).
+* numpy fallback/oracle: `insert_sequence` computes all (row, word,
+  bitmask) triples for a fragment in one shot and scatter-ORs them.
+  Equivalence is asserted in tests/test_build.py.
 """
 
 from __future__ import annotations
@@ -40,6 +47,11 @@ from readbouncer_tpu.ibf.params import IBFParams, optimal_bins
 from readbouncer_tpu.ibf.storage import IBFData
 
 __all__ = ["BuildStats", "cut_out_nnns", "fragment_bounds", "build_ibf", "update_ibf"]
+
+try:  # native insert kernel (native/rbt_native.cpp); numpy fallback below
+    from readbouncer_tpu import _native as _rbt_native
+except ImportError:  # pragma: no cover - environment without the build
+    _rbt_native = None
 
 
 @dataclass
@@ -176,23 +188,42 @@ def _insert_all(
     params: IBFParams,
     stats: BuildStats,
     bin_offset: int,
+    use_native: bool | None = None,
 ) -> None:
+    if use_native is None:
+        use_native = _rbt_native is not None
     bin_id = bin_offset
     ranges: list[tuple[int, int]] = list(
         map(tuple, ibf.bin_ranges.tolist()) if ibf.bin_ranges is not None else []
     )
     for seqid, seq in zip(parsed.seqids, parsed.cleaned):
         bases = encode_bases(seq)
-        for fragstart, fragend in fragment_bounds(
-            len(seq), params.fragment_length, params.kmer_size
-        ):
-            if bin_id >= ibf.padded_bins:
-                # edge-window overflow beyond the 64-bin padding; the
-                # reference would write out of declared range — we refuse.
-                raise ValueError(
-                    f"fragment count exceeded padded bin capacity ({ibf.padded_bins})"
-                )
-            insert_sequence(ibf, bases[fragstart:fragend], bin_id)
+        bounds = fragment_bounds(len(seq), params.fragment_length, params.kmer_size)
+        if bin_id + len(bounds) > ibf.padded_bins:
+            # edge-window overflow beyond the 64-bin padding; the
+            # reference would write out of declared range — we refuse.
+            raise ValueError(
+                f"fragment count exceeded padded bin capacity ({ibf.padded_bins})"
+            )
+        if use_native and bounds:
+            frags = np.array(
+                [(s, e, bin_id + i) for i, (s, e) in enumerate(bounds)],
+                dtype=np.int64,
+            )
+            _rbt_native.insert_fragments(
+                ibf.bits.reshape(-1),
+                ibf.rows,
+                ibf.words,
+                bases.tobytes(),
+                frags.tobytes(),
+                params.kmer_size,
+                params.hash_functions,
+                params.threads,
+            )
+        else:
+            for i, (fragstart, fragend) in enumerate(bounds):
+                insert_sequence(ibf, bases[fragstart:fragend], bin_id + i)
+        for fragstart, fragend in bounds:
             ibf.bin_seqids.append(seqid)
             ranges.append((fragstart, fragend))
             bin_id += 1

@@ -75,6 +75,15 @@ class IBFParams:
 
     # number of sequence records read per host batch (streaming)
     n_refs: int = 400
+    # build worker threads (native insert path); 0 = all available cores.
+    # Reference analog: IBF_Params.threads (src/IBF/IBFConfig.hpp:98-105).
+    build_threads: int = 0
+
+    @property
+    def threads(self) -> int:
+        import os
+
+        return self.build_threads if self.build_threads > 0 else (os.cpu_count() or 1)
 
     def validate(self) -> "IBFParams":
         if self.kmer_size < 1 or self.kmer_size > 15:

@@ -102,3 +102,34 @@ def test_update_appends_bins(tmp_path):
     assert ibf.num_bins == n_old + 3  # 249//100+1
     assert s2.new_bins == 3
     assert len(ibf.bin_seqids) == s1.total_bins_inserted + s2.total_bins_inserted
+
+
+def test_native_insert_matches_numpy(tmp_path):
+    """The C++ insert_fragments kernel and the numpy scatter-OR oracle
+    must produce bit-identical filters (multi-seq, N-runs, edge windows)."""
+    pytest.importorskip("readbouncer_tpu._native")
+    from readbouncer_tpu.ibf.build import BuildStats, _insert_all, _parse_refs
+
+    rng = np.random.default_rng(7)
+    mk = lambda n: "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+    seqs = [
+        ("a", mk(950) + "NNNN" + mk(431)),
+        ("b", mk(87)),  # single short fragment
+        ("c", mk(2500)),  # multiple fragments + k-1 overlap
+    ]
+    ref = _fasta(tmp_path, "r.fasta", seqs)
+    params = IBFParams(kmer_size=13, fragment_length=500)
+    stats = BuildStats()
+    parsed = _parse_refs([ref], params, stats)
+    mk_ibf = lambda: IBFData.empty(
+        rows=params.rows,
+        num_bins=stats.total_bins_declared,
+        kmer_size=params.kmer_size,
+        hash_functions=params.hash_functions,
+        fragment_length=params.fragment_length,
+    )
+    nat, pyv = mk_ibf(), mk_ibf()
+    _insert_all(nat, parsed, params, BuildStats(), 0, use_native=True)
+    _insert_all(pyv, parsed, params, BuildStats(), 0, use_native=False)
+    assert np.array_equal(nat.bits, pyv.bits)
+    assert nat.bits.any()
