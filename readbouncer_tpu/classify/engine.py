@@ -129,6 +129,7 @@ class ClassifyEngine:
         self.chunk_length = chunk_length
         self.max_chunks = max_chunks
         self.batch_size = batch_size
+        self.kmer_size = (self.targets or self.depletes).kmer_size
         # jitted fused programs keyed by (n_chunks, attempt_offset),
         # built lazily (make_fused_classify_fn)
         self._fused_cache: dict[tuple[int, int], object] = {}
@@ -334,6 +335,16 @@ def classify_read_files(
             ids: list[str] = []
             seqs: list[str] = []
 
+            # a still-unclassified read FAILS once its chunk loop reaches a
+            # fragment shorter than the k-mer size (every classify overload
+            # throws ShortReadException there and the driver counts the read
+            # failed and drops it from every output, incl. unclassified.fasta;
+            # reference: src/IBF/IBFClassify.cpp:218-225,290-294 via
+            # src/main/classify.hpp:300-310).  Chunk lengths decrease, so the
+            # loop hits a short fragment iff the last attempted chunk is
+            # short: len < (max_chunks-1)*chunk_length + k.
+            fail_below = (engine.max_chunks - 1) * chunk_length + engine.kmer_size
+
             def flush():
                 if not seqs:
                     return
@@ -345,6 +356,8 @@ def classify_read_files(
                             name = engine.target_names[best[j]]
                             results.per_target[name] += 1
                             target_writers[best[j]].write(ids[j], seqs[j])
+                    elif len(seqs[j]) < fail_below:
+                        results.failed += 1
                     else:
                         unclassified.write(ids[j], seqs[j])
                 ids.clear()

@@ -342,17 +342,22 @@ def _counts_pallas(
     valid = jnp.arange(n, dtype=jnp.int32)[None, :] < n_valid[:, None]  # [R, n]
     anded = jnp.where(valid[:, None, :, None], anded, jnp.uint32(0))
 
-    # pad windows to the kernel block and fold strand into the lane axis
+    # pad windows + word count to the kernel blocks and fold strand into
+    # the lane axis (word padding keeps VMEM tiles bounded at any W —
+    # the kernel grids over word blocks)
+    from readbouncer_tpu.ops.ibf_count_pallas import WORD_BLOCK
+
     n_pad = -(-n // 128) * 128 if n > 128 else (1 << max(n - 1, 1).bit_length())
+    W_pad = -(-W // WORD_BLOCK) * WORD_BLOCK
     R2 = 2 * R
     r2b = min(512, 1 << max(R2 - 1, 1).bit_length())
     R2_pad = -(-R2 // r2b) * r2b
-    anded = jnp.pad(anded, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
-    a_t = jnp.transpose(anded.reshape(R2, n_pad, W), (2, 1, 0))  # [W, n_pad, R2]
+    anded = jnp.pad(anded, ((0, 0), (0, 0), (0, n_pad - n), (0, W_pad - W)))
+    a_t = jnp.transpose(anded.reshape(R2, n_pad, W_pad), (2, 1, 0))  # [W_pad, n_pad, R2]
     if R2_pad != R2:
         a_t = jnp.pad(a_t, ((0, 0), (0, 0), (0, R2_pad - R2)))
-    counts_t = accumulate_counts_pallas(a_t, interpret=interpret)  # [W, 32, R2_pad]
-    counts = jnp.transpose(counts_t[:, :, :R2], (2, 0, 1))  # [R2, W, 32]
+    counts_t = accumulate_counts_pallas(a_t, interpret=interpret)  # [W_pad, 32, R2_pad]
+    counts = jnp.transpose(counts_t[:W, :, :R2], (2, 0, 1))  # [R2, W, 32]
     return counts.reshape(R, 2, W * 32)
 
 

@@ -45,9 +45,15 @@ from readbouncer_tpu.ibf.query import FilterStack
 from readbouncer_tpu.ibf.storage import IBFData
 from readbouncer_tpu.stream.actions import Action, ActionSender
 from readbouncer_tpu.stream.replay import ReplaySource, SignalChunk
-from readbouncer_tpu.utils.timing import OnlineMean
+from readbouncer_tpu.utils.timing import Durations, OnlineMean, TimeMeasures
 
-__all__ = ["LiveConfig", "LiveClassifier", "AdaptiveSampler", "LiveStats"]
+__all__ = [
+    "LiveConfig",
+    "LiveClassifier",
+    "AdaptiveSampler",
+    "LiveStats",
+    "IntervalStats",
+]
 
 
 @dataclass
@@ -101,6 +107,117 @@ class LiveClassifier:
         return out
 
 
+class IntervalStats:
+    """Rolling + per-interval duration statistics with periodic dumps.
+
+    Mirror of the reference's stats task (compute_average_durations,
+    src/main/adaptive_sampling.hpp:368-498): consumes one Durations
+    record per completed read, maintains total and current-interval
+    running means, and every ``interval_seconds`` emits the
+    "Intermediate Results" block — total/interval classified and
+    unclassified counts, active channels (per-channel read counters,
+    reset each interval; reference channel_stats,
+    adaptive_sampling.hpp:708-712 populated at
+    DeepNanoBasecaller.cpp:48-49), average read length, interval average
+    durations, and queue depths.
+    """
+
+    def __init__(self, interval_seconds: float = 60.0, logger=None):
+        self.interval_seconds = interval_seconds
+        self.logger = logger
+        self.total_classified = 0
+        self.total_unclassified = 0
+        self.cur_classified = 0
+        self.cur_unclassified = 0
+        self.avg_complete_classified = OnlineMean()
+        self.avg_complete_unclassified = OnlineMean()
+        self.avg_basecall = OnlineMean()
+        self.avg_classify = OnlineMean()
+        self.cur_complete_classified = OnlineMean()
+        self.cur_complete_unclassified = OnlineMean()
+        self.cur_basecall = OnlineMean()
+        self.cur_classify = OnlineMean()
+        self.channel_stats: dict[int, int] = {}
+        self.avg_read_len = OnlineMean()
+        self._begin = time.monotonic()
+        self.dumps = 0
+
+    def record_chunk(self, channel: int) -> None:
+        """One basecalled chunk on *channel* (DeepNanoBasecaller.cpp:48-49)."""
+        self.channel_stats[channel] = self.channel_stats.get(channel, 0) + 1
+
+    def push(self, dur: Durations) -> None:
+        if dur.complete_classified > -1:
+            self.cur_classified += 1
+            self.avg_complete_classified.add(dur.complete_classified)
+            self.cur_complete_classified.add(dur.complete_classified)
+        else:
+            self.cur_unclassified += 1
+            self.avg_complete_unclassified.add(dur.complete_unclassified)
+            self.cur_complete_unclassified.add(dur.complete_unclassified)
+        self.avg_basecall.add(dur.basecalling)
+        self.cur_basecall.add(dur.basecalling)
+        self.avg_classify.add(dur.classification)
+        self.cur_classify.add(dur.classification)
+
+    def maybe_dump(self, queue_depths: dict[str, int] | None = None) -> bool:
+        """Emit the interval block when the interval elapsed."""
+        now = time.monotonic()
+        if now - self._begin <= self.interval_seconds:
+            return False
+        active = sum(1 for v in self.channel_stats.values() if v > 0)
+        self.total_classified += self.cur_classified
+        self.total_unclassified += self.cur_unclassified
+        lines = [
+            "----------------------------- Intermediate Results -------------------------------------------------------",
+            f"Total Number of classified reads                            :\t{self.total_classified}",
+            f"Total Number of unclassified reads                          :\t{self.total_unclassified}",
+            f"Number of active sequencing channels                        :\t{active}",
+            f"Number of classified reads during last interval             :\t{self.cur_classified}",
+            f"Number of unclassified reads during last interval           :\t{self.cur_unclassified}",
+            f"Total Average Read Length                                   :\t{self.avg_read_len.mean:.1f}",
+            f"Average Processing Time for classified Reads (interval)     :\t{self.cur_complete_classified.mean:.6f}",
+            f"Average Processing Time for unclassified Reads (interval)   :\t{self.cur_complete_unclassified.mean:.6f}",
+            f"Average Processing Time Read Basecalling (interval)         :\t{self.cur_basecall.mean:.6f}",
+            f"Average Processing Time Read Classification (interval)      :\t{self.cur_classify.mean:.6f}",
+        ]
+        for name, depth in (queue_depths or {}).items():
+            lines.append(f"Size of {name} Queue                            :\t{depth}")
+        lines.append(
+            "----------------------------------------------------------------------------------------------------------"
+        )
+        if self.logger is not None:
+            for line in lines:
+                self.logger.info(line)
+        self.channel_stats = {}
+        self.cur_classified = 0
+        self.cur_unclassified = 0
+        self.cur_complete_classified = OnlineMean()
+        self.cur_complete_unclassified = OnlineMean()
+        self.cur_basecall = OnlineMean()
+        self.cur_classify = OnlineMean()
+        self._begin = now
+        self.dumps += 1
+        return True
+
+    def final_report(self) -> str:
+        """The end-of-run averages block (adaptive_sampling.hpp:484-496)."""
+        self.total_classified += self.cur_classified
+        self.total_unclassified += self.cur_unclassified
+        self.cur_classified = 0
+        self.cur_unclassified = 0
+        return "\n".join(
+            [
+                f"Number of classified reads\t\t\t\t:\t{self.total_classified}",
+                f"Number of unclassified reads\t\t\t\t:\t{self.total_unclassified}",
+                f"Average Processing Time for classified Reads\t\t:\t{self.avg_complete_classified.mean:.6f}",
+                f"Average Processing Time for unclassified Reads\t:\t{self.avg_complete_unclassified.mean:.6f}",
+                f"Average Processing Time Read Basecalling\t\t:\t{self.avg_basecall.mean:.6f}",
+                f"Average Processing Time Read Classification\t\t:\t{self.avg_classify.mean:.6f}",
+            ]
+        )
+
+
 @dataclass
 class LiveStats:
     classified: int = 0
@@ -144,6 +261,7 @@ class AdaptiveSampler:
         output_dir: str | Path = ".",
         cfg: LiveConfig | None = None,
         wall_clock: bool = False,
+        logger=None,
     ):
         self.source = source
         self.basecaller = basecaller
@@ -155,15 +273,31 @@ class AdaptiveSampler:
             source, self.output_dir, wall_clock=wall_clock
         )
         self.stats = LiveStats()
+        self.interval = IntervalStats(self.cfg.interval_seconds, logger=logger)
+        # per-read stopwatches (the reference's RTPair TimeMeasures,
+        # src/interfaces/ont_read.hpp:61): complete starts at first chunk
+        # receipt, basecall/classify accumulate batch-attributed spans,
+        # complete stops at action creation (Data.cpp:173-187)
+        self.measures: dict[str, TimeMeasures] = {}
         self.pending_bc: dict[str, str] = {}
         self.once_seen: dict[str, tuple[str, int]] = {}
         self.depleted_writer = FastaWriter(self.output_dir / "DepletedReads.fasta")
         self.target_writer = FastaWriter(self.output_dir / "TargetReads.fasta")
 
     # -- single-read decision application -------------------------------
-    def _emit(self, chunk: SignalChunk, seq: str, unblock: bool, t0: float) -> None:
+    def _emit(self, chunk: SignalChunk, seq: str, unblock: bool) -> None:
         self.stats.avg_read_len.add(len(seq))
-        dt = time.monotonic() - t0
+        self.interval.avg_read_len.add(len(seq))
+        tm = self.measures.pop(chunk.read_id, None) or TimeMeasures()
+        tm.complete.stop()
+        dt = tm.complete.elapsed()  # per-read complete time (Data.cpp:174-187)
+        self.interval.push(
+            Durations(
+                complete_classified=dt,
+                basecalling=tm.basecall.elapsed(),
+                classification=tm.classify.elapsed(),
+            )
+        )
         if unblock:
             self.stats.unblocked += 1
             self.depleted_writer.write(chunk.read_id, seq)
@@ -188,9 +322,19 @@ class AdaptiveSampler:
         chunks = self.source.tick()
         self.stats.ticks += 1
         if chunks:
+            for c in chunks:
+                tm = self.measures.get(c.read_id)
+                if tm is None:
+                    tm = TimeMeasures()
+                    tm.complete.start()  # signal receipt (Data.cpp:376-377)
+                    self.measures[c.read_id] = tm
+                self.interval.record_chunk(c.channel)
             t0 = time.monotonic()
             seqs = self.basecaller.basecall([c.signal for c in chunks])
-            self.stats.basecall_seconds += time.monotonic() - t0
+            bc_dt = time.monotonic() - t0
+            self.stats.basecall_seconds += bc_dt
+            for c in chunks:  # batch-attributed per-read basecall span
+                self.measures[c.read_id].basecall.add(bc_dt / len(chunks))
             items: list[tuple[SignalChunk, str]] = []
             for c, s in zip(chunks, seqs):
                 s = self.pending_bc.pop(c.read_id, "") + s
@@ -205,10 +349,10 @@ class AdaptiveSampler:
                 for (c, s), d in zip(items, decisions):
                     if d == DECISION_UNBLOCK:
                         prev, _ = self.once_seen.pop(c.read_id, ("", 0))
-                        self._emit(c, prev + s, True, t_tick)
+                        self._emit(c, prev + s, True)
                     elif d == DECISION_STOP_RECEIVING:
                         self.once_seen.pop(c.read_id, None)
-                        self._emit(c, s, False, t_tick)
+                        self._emit(c, s, False)
                     else:
                         entry = self.once_seen.pop(c.read_id, None)
                         if entry is not None:
@@ -219,18 +363,30 @@ class AdaptiveSampler:
                     d2 = self.classifier.decide([s for _, s, _ in second])
                     for (c, s, iterstep), d in zip(second, d2):
                         if d == DECISION_UNBLOCK:
-                            self._emit(c, s, True, t_tick)
+                            self._emit(c, s, True)
                         elif d == DECISION_STOP_RECEIVING:
-                            self._emit(c, s, False, t_tick)
+                            self._emit(c, s, False)
                         elif len(s) > self.cfg.give_up_len:
                             # assume on-target (adaptive_sampling.hpp:313-325)
-                            self._emit(c, s, False, t_tick)
+                            self._emit(c, s, False)
                         else:
                             self.once_seen[c.read_id] = (s, iterstep + 1)
-                self.stats.classify_seconds += time.monotonic() - t0
+                cl_dt = time.monotonic() - t0
+                self.stats.classify_seconds += cl_dt
+                for c, _ in items:  # batch-attributed classify span
+                    tm = self.measures.get(c.read_id)
+                    if tm is not None:
+                        tm.classify.add(cl_dt / len(items))
                 self.stats.reads_processed += len(items)
             self.stats.tick_latencies.append(time.monotonic() - t_tick)
         self.sender.flush()
+        self.interval.maybe_dump(
+            {
+                "Action": len(self.sender._queue),
+                "Pending-Basecall": len(self.pending_bc),
+                "Once-Seen": len(self.once_seen),
+            }
+        )
         return len(chunks)
 
     def run(self, max_ticks: int | None = None) -> LiveStats:
@@ -243,7 +399,20 @@ class AdaptiveSampler:
         self.sender.drain()
         # reads whose chunks ran out while unclassified (a read can sit in
         # both maps: once_seen from an earlier chunk, pending from its last)
-        self.stats.unclassified = len(set(self.once_seen) | set(self.pending_bc))
+        unresolved = set(self.once_seen) | set(self.pending_bc)
+        self.stats.unclassified = len(unresolved)
+        for rid in unresolved:
+            tm = self.measures.pop(rid, None)
+            if tm is None:
+                continue
+            tm.complete.stop()
+            self.interval.push(
+                Durations(
+                    complete_unclassified=tm.complete.elapsed(),
+                    basecalling=tm.basecall.elapsed(),
+                    classification=tm.classify.elapsed(),
+                )
+            )
         self.depleted_writer.close()
         self.target_writer.close()
         self.sender.close()

@@ -44,6 +44,13 @@ class StopClock:
             self._accum = 0.0
             self.running = True
 
+    def add(self, seconds: float) -> None:
+        """Accumulate an externally-measured span (batched attribution:
+        the scheduler brackets one device batch and divides the span over
+        the reads in it — the batched analog of the reference's per-read
+        bracketing, DeepNanoBasecaller.cpp:41-44)."""
+        self._accum += seconds
+
 
 @dataclass
 class TimeMeasures:

@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""One-experiment-per-invocation gather mechanics probe (TPU).
+
+Usage: python scripts/gather_probe.py <exp> [--m M]
+exps: g72 g128 tile tile_and g3 and3s
+Persistent compilation cache keeps reruns cheap.
+"""
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sync(out):
+    leaf = jax.tree.leaves(out)[0]
+    return np.asarray(leaf[(0,) * leaf.ndim])
+
+
+def timeit(fn, *args, n=15):
+    t0 = time.time()
+    out = fn(*args)
+    sync(out)
+    print(f"  compile+first: {time.time()-t0:.1f}s", flush=True)
+    ts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        sync(out)
+        ts.append((time.perf_counter() - t0) / n)
+    return min(ts)
+
+
+ROWS = 1_236_269
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("exp")
+    ap.add_argument("--m", type=int, default=2048 * 2 * 238)
+    args = ap.parse_args()
+    M = args.m
+    key = jax.random.PRNGKey(0)
+    idx = jax.random.randint(key, (M,), 0, ROWS, jnp.int32)
+
+    if args.exp in ("g72", "g128"):
+        W = 72 if args.exp == "g72" else 128
+        tab = jax.random.bits(key, (ROWS, W), jnp.uint32)
+        dt = timeit(jax.jit(lambda t, i: jnp.take(t, i, axis=0)), tab, idx)
+        print(f"gather [rows,{W}] M={M}: {dt*1e3:.2f} ms  {M/dt/1e6:.1f} Mrows/s")
+    elif args.exp == "tile":
+        n_tiles = ROWS // 8
+        tab3 = jax.random.bits(key, (n_tiles, 8, 72), jnp.uint32)
+        tidx = jax.random.randint(key, (M,), 0, n_tiles, jnp.int32)
+        dt = timeit(jax.jit(lambda t, i: jnp.take(t, i, axis=0)), tab3, tidx)
+        print(f"tile gather [tiles,8,72] M={M}: {dt*1e3:.2f} ms  {M/dt/1e6:.1f} Mtiles/s")
+    elif args.exp == "tile_and":
+        n_tiles = ROWS // 8
+        tab3 = jax.random.bits(key, (n_tiles, 8, 72), jnp.uint32)
+        tidx = jax.random.randint(key, (M,), 0, n_tiles, jnp.int32)
+        g = jax.random.randint(key, (M, 3), 0, 8, jnp.int32)
+
+        def tile_and(t, i, g):
+            tiles = jnp.take(t, i, axis=0)  # [M, 8, W]
+            outs = []
+            for j in range(3):
+                s = jax.nn.one_hot(g[:, j], 8, dtype=jnp.uint32)[:, :, None]
+                outs.append(jnp.sum(tiles * s, axis=1))
+            return outs[0] & outs[1] & outs[2]
+
+        dt = timeit(jax.jit(tile_and), tab3, tidx, g)
+        print(f"tile gather+select+AND M={M}: {dt*1e3:.2f} ms")
+    elif args.exp == "g3":
+        tab = jax.random.bits(key, (ROWS, 72), jnp.uint32)
+        idx3 = jax.random.randint(key, (3, M), 0, ROWS, jnp.int32)
+
+        def g3(t, i):
+            return (
+                jnp.take(t, i[0], axis=0)
+                & jnp.take(t, i[1], axis=0)
+                & jnp.take(t, i[2], axis=0)
+            )
+
+        dt = timeit(jax.jit(g3), tab, idx3)
+        print(f"3x gather+AND [rows,72] M={M}: {dt*1e3:.2f} ms  {3*M/dt/1e6:.1f} Mrows/s")
+    else:
+        raise SystemExit(f"unknown exp {args.exp}")
+
+
+if __name__ == "__main__":
+    main()

@@ -88,8 +88,12 @@ def test_two_targets_route_to_best(world, tmp_path):
     )
     assert res.per_target == {"targetA": 4, "targetB": 5}
     assert res.found == 9
+    # the 400 bp unclassified read reaches an empty chunk attempt ->
+    # ShortReadException in the reference -> counted failed, dropped from
+    # every output (src/main/classify.hpp:300-310)
+    assert res.failed == 1
     uncls = (tmp_path / "out" / "unclassified.fasta").read_text()
-    assert ">rand_0" in uncls and uncls.count(">") == 1
+    assert uncls == ""
 
 
 def test_deplete_and_target(world, tmp_path):
@@ -108,13 +112,16 @@ def test_deplete_and_target(world, tmp_path):
         output_dir=tmp_path / "out",
         verbose=False,
     )
-    # host reads match deplete but not target -> unclassified
+    # host reads match deplete but not target -> unclassified; at 400 bp
+    # their chunk loop hits an empty fragment -> failed in the reference
+    # (ShortReadException, src/main/classify.hpp:300-310)
     assert res.found == 3
     assert res.too_short == 1
     assert res.read_counter == 7
     assert res.per_target["targetA"] == 3
+    assert res.failed == 3
     uncls = (tmp_path / "out" / "unclassified.fasta").read_text()
-    assert uncls.count(">") == 3
+    assert uncls.count(">") == 0
 
 
 def test_chunk_waves_classify_long_tail(world, tmp_path):
