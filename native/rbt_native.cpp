@@ -14,6 +14,8 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+#include <zlib.h>
+
 #include <atomic>
 #include <cstdint>
 #include <cstdio>
@@ -112,98 +114,217 @@ PyObject* encode(PyObject*, PyObject* arg) {
 }
 
 // ---------------------------------------------------------------------
-// read_records(path: str, first_word_id: bool) -> list[(str, bytes)]
+// read_records(path: str, first_word_id: bool) -> RecordReader
 //
-// Streaming FASTA/FASTQ parser (format sniffed from the first byte,
-// like seqan::readRecords).  Returns raw sequence bytes; ids optionally
-// cut at the first space (reference: src/IBF/IBFBuild.cpp:77).
+// Streaming FASTA/FASTQ record iterator (format sniffed from the first
+// byte, like seqan::readRecords at src/IBF/IBFBuild.cpp:52).  Yields
+// (id: str, seq: bytes) tuples one record at a time — constant memory
+// for any file size.  Lines of any length are handled (growable buffer,
+// no fgets truncation), CRLF is stripped, and gzip input is transparent
+// (zlib gzFile reads plain files unchanged).  Ids are optionally cut at
+// the first space/tab (reference seqid handling: src/IBF/IBFBuild.cpp:77).
+
+struct LineReader {
+    gzFile f = nullptr;
+    std::string buf;     // window of the file
+    size_t pos = 0;      // scan cursor into buf
+    bool eof = false;
+    bool io_error = false;
+
+    static constexpr size_t kChunk = 1 << 18;
+
+    bool fill() {  // append one chunk; false on EOF or error
+        if (eof) return false;
+        size_t old = buf.size();
+        buf.resize(old + kChunk);
+        int n = gzread(f, buf.data() + old, (unsigned)kChunk);
+        if (n < 0) { io_error = true; eof = true; n = 0; }
+        buf.resize(old + (size_t)n);
+        if ((size_t)n < kChunk) eof = true;
+        return n > 0;
+    }
+
+    // Next line (without terminator, \r stripped) into `line`.
+    // Returns false at end of input.  `line` stays valid until the next
+    // call (it is a copy — headers/sequences escape the window buffer).
+    bool getline(std::string& line) {
+        size_t nl;
+        while ((nl = buf.find('\n', pos)) == std::string::npos) {
+            if (!fill()) {
+                if (pos >= buf.size()) return false;
+                nl = buf.size();
+                break;
+            }
+        }
+        size_t n = nl - pos;
+        if (n && buf[pos + n - 1] == '\r') --n;
+        line.assign(buf, pos, n);
+        pos = (nl == buf.size()) ? nl : nl + 1;
+        // compact the consumed prefix so the window stays bounded
+        if (pos > (kChunk * 2) && pos * 2 > buf.size()) {
+            buf.erase(0, pos);
+            pos = 0;
+        }
+        return true;
+    }
+
+    int peek() {
+        while (pos >= buf.size()) {
+            if (!fill()) return -1;
+        }
+        return (unsigned char)buf[pos];
+    }
+};
+
+struct RecordReader {
+    PyObject_HEAD
+    LineReader* lr;
+    std::string* line;     // scratch
+    std::string* header;   // pending FASTA header (already id-trimmed)
+    std::string* seq;
+    bool fastq;
+    bool first_word_id;
+    bool done;
+};
+
+void trim_id(std::string& id, bool first_word) {
+    if (!first_word) return;
+    size_t sp = id.find_first_of(" \t");
+    if (sp != std::string::npos) id.resize(sp);
+}
+
+PyObject* make_record(const std::string& id, const std::string& seq) {
+    PyObject* pid = PyUnicode_FromStringAndSize(id.data(), id.size());
+    if (!pid) return nullptr;
+    PyObject* pseq = PyBytes_FromStringAndSize(seq.data(), seq.size());
+    if (!pseq) { Py_DECREF(pid); return nullptr; }
+    PyObject* tup = PyTuple_Pack(2, pid, pseq);
+    Py_DECREF(pid);
+    Py_DECREF(pseq);
+    return tup;
+}
+
+PyObject* reader_next(PyObject* self_obj) {
+    RecordReader* self = (RecordReader*)self_obj;
+    if (self->done) return nullptr;  // StopIteration (iternext protocol)
+    LineReader& lr = *self->lr;
+    std::string& line = *self->line;
+    std::string& seq = *self->seq;
+
+    if (!self->fastq) {
+        // FASTA: need a header in hand, then accumulate until next '>'
+        while (self->header->empty()) {
+            if (!lr.getline(line)) { self->done = true; goto eof; }
+            if (!line.empty() && line[0] == '>') {
+                self->header->assign(line, 1, line.size() - 1);
+                trim_id(*self->header, self->first_word_id);
+                // ">" alone is a valid (empty-id) header; mark in-record
+                // via a non-empty sentinel handled below
+                if (self->header->empty()) self->header->assign(1, '\0');
+            }
+        }
+        seq.clear();
+        while (true) {
+            if (!lr.getline(line)) { self->done = true; break; }
+            if (!line.empty() && line[0] == '>') {
+                std::string id = (*self->header)[0] == '\0'
+                                     ? std::string()
+                                     : *self->header;
+                self->header->assign(line, 1, line.size() - 1);
+                trim_id(*self->header, self->first_word_id);
+                if (self->header->empty()) self->header->assign(1, '\0');
+                if (lr.io_error) goto ioerr;
+                return make_record(id, seq);
+            }
+            seq.append(line);
+        }
+        if (lr.io_error) goto ioerr;
+        {
+            std::string id = (*self->header)[0] == '\0' ? std::string()
+                                                        : *self->header;
+            self->header->clear();
+            return make_record(id, seq);
+        }
+    }
+
+    // FASTQ: 4-line records (header/seq/plus/qual); blank lines between
+    // records are skipped, malformed records raise ValueError — matching
+    // the Python fallback (readbouncer_tpu/fastio/fasta.py _iter_fastq).
+    while (true) {
+        if (!lr.getline(line)) { self->done = true; goto eof; }
+        if (line.empty()) continue;
+        break;
+    }
+    if (line[0] != '@') {
+        PyErr_Format(PyExc_ValueError, "malformed FASTQ record header: %.60s",
+                     line.c_str());
+        self->done = true;
+        return nullptr;
+    }
+    {
+        std::string id(line, 1, line.size() - 1);
+        trim_id(id, self->first_word_id);
+        if (!lr.getline(seq)) seq.clear();
+        if (!lr.getline(line)) line.clear();
+        if (line.empty() || line[0] != '+') {
+            PyErr_SetString(PyExc_ValueError,
+                            "malformed FASTQ record: missing '+' line");
+            self->done = true;
+            return nullptr;
+        }
+        lr.getline(line);  // quality line, unused
+        if (lr.io_error) goto ioerr;
+        return make_record(id, seq);
+    }
+
+eof:
+    if (lr.io_error) goto ioerr;
+    return nullptr;
+ioerr:
+    PyErr_SetString(PyExc_OSError, "I/O or decompression error while reading");
+    return nullptr;
+}
+
+void reader_dealloc(PyObject* self_obj) {
+    RecordReader* self = (RecordReader*)self_obj;
+    if (self->lr) {
+        if (self->lr->f) gzclose(self->lr->f);
+        delete self->lr;
+    }
+    delete self->line;
+    delete self->header;
+    delete self->seq;
+    Py_TYPE(self_obj)->tp_free(self_obj);
+}
+
+PyTypeObject RecordReaderType = {
+    PyVarObject_HEAD_INIT(nullptr, 0)
+    "readbouncer_tpu._native.RecordReader",  // tp_name
+    sizeof(RecordReader),                    // tp_basicsize
+};
+
 PyObject* read_records(PyObject*, PyObject* args) {
     const char* path;
     int first_word_id = 0;
     if (!PyArg_ParseTuple(args, "s|p", &path, &first_word_id)) return nullptr;
-    FILE* f = fopen(path, "rb");
+    gzFile f = gzopen(path, "rb");
     if (!f) {
         PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
         return nullptr;
     }
-    PyObject* out = PyList_New(0);
-    if (!out) { fclose(f); return nullptr; }
-
-    std::string line, id, seq;
-    line.reserve(1 << 16);
-    int c = fgetc(f);
-    bool fastq = (c == '@');
-    ungetc(c, f);
-
-    char buf[1 << 16];
-    auto flush = [&]() -> bool {
-        if (id.empty() && seq.empty()) return true;
-        PyObject* pid = PyUnicode_FromStringAndSize(id.data(), id.size());
-        PyObject* pseq = PyBytes_FromStringAndSize(seq.data(), seq.size());
-        if (!pid || !pseq) { Py_XDECREF(pid); Py_XDECREF(pseq); return false; }
-        PyObject* tup = PyTuple_Pack(2, pid, pseq);
-        Py_DECREF(pid); Py_DECREF(pseq);
-        if (!tup) return false;
-        int rc = PyList_Append(out, tup);
-        Py_DECREF(tup);
-        return rc == 0;
-    };
-
-    int phase = 0;  // fastq: 0=header 1=seq 2=plus 3=qual
-    bool ok = true;
-    while (ok && fgets(buf, sizeof(buf), f)) {
-        size_t n = strlen(buf);
-        bool eol = n && buf[n - 1] == '\n';
-        if (eol) buf[--n] = 0;
-        if (n && buf[n - 1] == '\r') buf[--n] = 0;
-        if (!fastq) {
-            if (n && buf[0] == '>') {
-                ok = flush();
-                id.assign(buf + 1, n - 1);
-                if (first_word_id) {
-                    size_t sp = id.find_first_of(" \t");
-                    if (sp != std::string::npos) id.resize(sp);
-                }
-                seq.clear();
-            } else {
-                seq.append(buf, n);
-            }
-            // multi-line FASTA: sequence continues until the next header
-            continue;
-        }
-        // FASTQ state machine (4-line records; seq/qual single-line only
-        // while a line keeps ending exactly at the buffer boundary we
-        // keep appending below)
-        switch (phase) {
-            case 0:
-                if (n && buf[0] == '@') {
-                    id.assign(buf + 1, n - 1);
-                    if (first_word_id) {
-                        size_t sp = id.find_first_of(" \t");
-                        if (sp != std::string::npos) id.resize(sp);
-                    }
-                    seq.clear();
-                    if (eol) phase = 1;
-                }
-                break;
-            case 1:
-                seq.append(buf, n);
-                if (eol) phase = 2;
-                break;
-            case 2:
-                if (eol) phase = 3;
-                break;
-            case 3:
-                if (eol) { ok = flush(); id.clear(); seq.clear(); phase = 0; }
-                break;
-        }
-        if (!eol && phase == 0 && !fastq) continue;
-    }
-    if (ok && !fastq) ok = flush();
-    if (ok && fastq && phase == 3) ok = flush();
-    fclose(f);
-    if (!ok) { Py_DECREF(out); return nullptr; }
-    return out;
+    gzbuffer(f, 1 << 17);
+    RecordReader* self =
+        (RecordReader*)RecordReaderType.tp_alloc(&RecordReaderType, 0);
+    if (!self) { gzclose(f); return nullptr; }
+    self->lr = new LineReader();
+    self->lr->f = f;
+    self->line = new std::string();
+    self->header = new std::string();
+    self->seq = new std::string();
+    self->first_word_id = first_word_id != 0;
+    self->done = false;
+    self->fastq = self->lr->peek() == '@';
+    return (PyObject*)self;
 }
 
 // ---------------------------------------------------------------------
@@ -336,7 +457,8 @@ PyMethodDef kMethods[] = {
      "encode_batch(seqs, length) -> (u8 bytes [R*length], i32 bytes [R])"},
     {"encode", encode, METH_O, "encode(seq) -> ordValue bytes"},
     {"read_records", read_records, METH_VARARGS,
-     "read_records(path, first_word_id=False) -> list[(id, seq_bytes)]"},
+     "read_records(path, first_word_id=False) -> iterator of (id, seq_bytes);"
+     " gzip transparent, streaming"},
     {nullptr, nullptr, 0, nullptr},
 };
 
@@ -347,4 +469,22 @@ PyModuleDef kModule = {
 
 }  // namespace
 
-PyMODINIT_FUNC PyInit__native(void) { return PyModule_Create(&kModule); }
+PyMODINIT_FUNC PyInit__native(void) {
+    RecordReaderType.tp_dealloc = reader_dealloc;
+    RecordReaderType.tp_flags = Py_TPFLAGS_DEFAULT;
+    RecordReaderType.tp_doc = "streaming FASTA/FASTQ record iterator";
+    RecordReaderType.tp_iter = PyObject_SelfIter;
+    RecordReaderType.tp_iternext = reader_next;
+    RecordReaderType.tp_new = nullptr;  // only created via read_records()
+    if (PyType_Ready(&RecordReaderType) < 0) return nullptr;
+    PyObject* mod = PyModule_Create(&kModule);
+    if (!mod) return nullptr;
+    Py_INCREF(&RecordReaderType);
+    if (PyModule_AddObject(mod, "RecordReader",
+                           (PyObject*)&RecordReaderType) < 0) {
+        Py_DECREF(&RecordReaderType);
+        Py_DECREF(mod);
+        return nullptr;
+    }
+    return mod;
+}

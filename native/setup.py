@@ -18,6 +18,7 @@ setup(
             "readbouncer_tpu._native",
             sources=[str(ROOT / "rbt_native.cpp")],
             extra_compile_args=["-O3", "-std=c++20", "-Wall"],
+            libraries=["z"],
             language="c++",
         )
     ],

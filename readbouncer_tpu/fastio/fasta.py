@@ -82,7 +82,8 @@ except ImportError:  # pragma: no cover - environment without the build
 def read_records(path: str | Path, first_word_id: bool = False) -> Iterator[SeqRecord]:
     """Stream records from a FASTA/FASTQ file (gzip supported by suffix)."""
     path = Path(path)
-    if _rbt_native is not None and path.suffix != ".gz":
+    if _rbt_native is not None:
+        # streaming iterator; gzip transparent (zlib gzFile)
         for rec_id, seq in _rbt_native.read_records(str(path), first_word_id):
             yield SeqRecord(rec_id, seq.decode("ascii"))
         return
