@@ -16,6 +16,7 @@
 
 #include <zlib.h>
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstdio>
@@ -356,10 +357,31 @@ struct FragSpan {
     int64_t start, end, bin;
 };
 
+// rbt2 row derivation — MUST match ibf/hashing.py block_offsets_np:
+// block = fastrange(fmix32(code*SEED0), rows/8); h distinct offsets in
+// [0,8) from fmix32(code*SEED1) by order-statistics insertion.
+inline void rbt2_rows(uint32_t code, uint32_t n_blocks, int h,
+                      uint32_t* rows_out) {
+    uint32_t z0 = fmix32(code * kSeeds[0]);
+    uint32_t block = (uint32_t)(((uint64_t)z0 * n_blocks) >> 32);
+    uint32_t v = fmix32(code * kSeeds[1]);
+    uint32_t offs[8];
+    offs[0] = v & 7u;
+    for (int i = 1; i < h; ++i) {
+        uint32_t t = (v >> (3 * i)) % (uint32_t)(8 - i);
+        uint32_t prior[8];
+        for (int j = 0; j < i; ++j) prior[j] = offs[j];
+        std::sort(prior, prior + i);
+        for (int j = 0; j < i; ++j) t += (t >= prior[j]) ? 1u : 0u;
+        offs[i] = t;
+    }
+    for (int i = 0; i < h; ++i) rows_out[i] = block * 8u + offs[i];
+}
+
 // One fragment: rolling base-5 window codes -> h hashed rows -> atomic OR.
 void insert_one_fragment(uint32_t* bits, uint32_t rows, uint32_t words,
                          const uint8_t* bases, const FragSpan& frag,
-                         int k, int h) {
+                         int k, int h, int scheme) {
     int64_t len = frag.end - frag.start;
     if (len < k) return;
     const uint8_t* b = bases + frag.start;
@@ -371,11 +393,19 @@ void insert_one_fragment(uint32_t* bits, uint32_t rows, uint32_t words,
     uint32_t code = 0;
     for (int t = 0; t < k; ++t) code = code * 5u + b[t];
     int64_t n = len - k + 1;
+    uint32_t n_blocks = rows / 8u;
     for (int64_t j = 0;;) {
+        uint32_t rws[8];
+        if (scheme == 1) {
+            rbt2_rows(code, n_blocks, h, rws);
+        } else {
+            for (int i = 0; i < h; ++i) {
+                uint32_t z = fmix32(code * kSeeds[i]);
+                rws[i] = (uint32_t)(((uint64_t)z * rows) >> 32);
+            }
+        }
         for (int i = 0; i < h; ++i) {
-            uint32_t z = fmix32(code * kSeeds[i]);
-            uint32_t row = (uint32_t)(((uint64_t)z * rows) >> 32);
-            std::atomic_ref<uint32_t> cell(bits[(uint64_t)row * words + word]);
+            std::atomic_ref<uint32_t> cell(bits[(uint64_t)rws[i] * words + word]);
             cell.fetch_or(mask, std::memory_order_relaxed);
         }
         if (++j >= n) break;
@@ -394,10 +424,16 @@ PyObject* insert_fragments(PyObject*, PyObject* args) {
     const char* frags_raw;
     Py_ssize_t frags_n;
     int k, h, n_threads;
-    if (!PyArg_ParseTuple(args, "w*nny#y#iii", &bits_buf, &rows, &words,
+    int scheme = 0;  // 0 = rbt1, 1 = rbt2 (blocked rows)
+    if (!PyArg_ParseTuple(args, "w*nny#y#iii|i", &bits_buf, &rows, &words,
                           &bases, &bases_n, &frags_raw, &frags_n, &k, &h,
-                          &n_threads))
+                          &n_threads, &scheme))
         return nullptr;
+    if (scheme == 1 && (rows % 8 || h > 8)) {
+        PyBuffer_Release(&bits_buf);
+        PyErr_SetString(PyExc_ValueError, "rbt2 needs rows%8==0 and h<=8");
+        return nullptr;
+    }
     if (bits_buf.len < (Py_ssize_t)(rows * words * 4)) {
         PyBuffer_Release(&bits_buf);
         PyErr_SetString(PyExc_ValueError, "bits buffer too small");
@@ -430,7 +466,7 @@ PyObject* insert_fragments(PyObject*, PyObject* args) {
     if (n_threads == 1) {
         for (size_t f = 0; f < n_frags; ++f)
             insert_one_fragment(bits, (uint32_t)rows, (uint32_t)words,
-                                (const uint8_t*)bases, frags[f], k, h);
+                                (const uint8_t*)bases, frags[f], k, h, scheme);
     } else {
         std::atomic<size_t> next(0);
         std::vector<std::thread> pool;
@@ -440,7 +476,7 @@ PyObject* insert_fragments(PyObject*, PyObject* args) {
                 for (size_t f = next.fetch_add(1); f < n_frags;
                      f = next.fetch_add(1))
                     insert_one_fragment(bits, (uint32_t)rows, (uint32_t)words,
-                                        (const uint8_t*)bases, frags[f], k, h);
+                                        (const uint8_t*)bases, frags[f], k, h, scheme);
             });
         }
         for (auto& th : pool) th.join();

@@ -123,6 +123,7 @@ def _stack_dual_max(stack: FilterStack, bits, frags, lens, tab_base, tab_retry):
         k=stack.kmer_size,
         h=stack.hash_functions,
         rows=stack.rows,
+        scheme=stack.scheme,
     )
     thr_b = jnp.take(tab_base, lens)
     thr_r = jnp.take(tab_retry, lens)
@@ -142,16 +143,18 @@ def _plan_stacks(targets: FilterStack | None, depletes: FilterStack | None):
     """
     if targets is None or depletes is None:
         return None, 0
-    if (targets.kmer_size, targets.hash_functions, targets.rows) != (
+    if (targets.kmer_size, targets.hash_functions, targets.rows, targets.scheme) != (
         depletes.kmer_size,
         depletes.hash_functions,
         depletes.rows,
+        depletes.scheme,
     ):
         return None, 0
     combined = FilterStack.__new__(FilterStack)
     combined.kmer_size = targets.kmer_size
     combined.hash_functions = targets.hash_functions
     combined.rows = targets.rows
+    combined.scheme = targets.scheme
     combined.interpret = targets.interpret
     off = targets.total_bins
     combined.segments = list(targets.segments) + [

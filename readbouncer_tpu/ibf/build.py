@@ -35,12 +35,13 @@ The bit-setting hot loop has two implementations:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from pathlib import Path
 from typing import Iterable, Sequence
 
 import numpy as np
 
+from readbouncer_tpu.errors import BinCapacityError
 from readbouncer_tpu.fastio.fasta import read_records
 from readbouncer_tpu.ibf.hashing import encode_bases, hash_rows_np, kmer_codes_np
 from readbouncer_tpu.ibf.params import IBFParams, optimal_bins
@@ -119,7 +120,7 @@ def insert_sequence(ibf: IBFData, bases: np.ndarray, bin_id: int) -> None:
     fwd, _ = kmer_codes_np(bases, ibf.kmer_size)
     if fwd.size == 0:
         return
-    rows = hash_rows_np(fwd, ibf.hash_functions, ibf.rows)  # [n, h]
+    rows = hash_rows_np(fwd, ibf.hash_functions, ibf.rows, scheme=ibf.scheme)  # [n, h]
     word = np.uint32(bin_id // 32)
     mask = np.uint32(1 << (bin_id % 32))
     flat = ibf.bits.reshape(-1)
@@ -176,6 +177,7 @@ def build_ibf(
         fragment_length=params.fragment_length,
         max_fp=params.max_fp,
         name=name,
+        scheme=params.hash_scheme,
     )
     _insert_all(ibf, parsed, params, stats, bin_offset=0)
     stats.build_seconds = time.monotonic() - t0
@@ -202,7 +204,7 @@ def _insert_all(
         if bin_id + len(bounds) > ibf.padded_bins:
             # edge-window overflow beyond the 64-bin padding; the
             # reference would write out of declared range — we refuse.
-            raise ValueError(
+            raise BinCapacityError(
                 f"fragment count exceeded padded bin capacity ({ibf.padded_bins})"
             )
         if use_native and bounds:
@@ -219,6 +221,7 @@ def _insert_all(
                 params.kmer_size,
                 params.hash_functions,
                 params.threads,
+                1 if ibf.scheme == "rbt2" else 0,
             )
         else:
             for i, (fragstart, fragend) in enumerate(bounds):
@@ -243,6 +246,9 @@ def update_ibf(
     old declared bin count.
     """
     params.validate()
+    if params.hash_scheme != ibf.scheme:
+        # the existing bits govern: new fragments must hash the same way
+        params = replace(params, hash_scheme=ibf.scheme)
     stats = BuildStats()
     old_bins = ibf.num_bins
     parsed = _parse_refs(reference_files, params, stats)

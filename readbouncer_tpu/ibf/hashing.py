@@ -33,6 +33,31 @@ Scheme definition (version "rbt1"):
 
 fmix32 is the MurmurHash3 finalizer.  SEED[i] are odd 32-bit constants
 (xxhash primes), so code -> z is a bijection per hash function.
+
+Scheme "rbt2" (blocked rows — the TPU-native default for new builds):
+
+rbt1's h row lookups per k-mer are h independent random rows, and on TPU
+every row gather moves a full (8 sublane x 128 lane) HBM tile whatever
+the row width — measured 62.5 Mrows/s on v5e, i.e. the query kernel pays
+3 tile fetches per window.  rbt2 constrains the h rows of a k-mer to one
+aligned block of 8 consecutive rows so the query gathers ONE tile per
+window (scripts/gather_probe.py; docs/PERF_NOTES.md):
+
+* rows is a multiple of 8; block count B = rows/8.
+* block(c)  = (fmix32(c * SEED[0]) * B) >> 32          (fastrange)
+* offsets(c): h DISTINCT row offsets in [0, 8) drawn from
+  v = fmix32(c * SEED[1]):
+    pick_0 = v & 7
+    pick_i (i>=1): t = (v >> 3i) % (8 - i), then t is mapped into
+    [0,8) minus {pick_0..pick_{i-1}} by bumping t past each previously
+    chosen offset in ascending order (order statistics insertion).
+* row_i = block(c)*8 + offset_i(c).
+
+Within-block rows are not independent across the full bit space, so a
+blocked filter needs more rows for the same false-positive bound; the
+exact occupancy Markov model and sizing solver live in
+ibf.params.blocked_rows_for_fp.  Bit/word interleaving, forward-only
+insertion and fwd+rc querying are identical to rbt1.
 """
 
 from __future__ import annotations
@@ -41,15 +66,20 @@ import numpy as np
 
 __all__ = [
     "HASH_SCHEME",
+    "SUPPORTED_SCHEMES",
+    "BLOCK_ROWS",
     "SEEDS",
     "encode_bases",
     "complement",
     "kmer_codes_np",
     "hash_rows_np",
+    "block_offsets_np",
     "POW5",
 ]
 
-HASH_SCHEME = "rbt1"
+HASH_SCHEME = "rbt2"  # default for new builds; rbt1 stays load/query-able
+SUPPORTED_SCHEMES = ("rbt1", "rbt2")
+BLOCK_ROWS = 8  # rbt2: rows per gather block (= one TPU sublane tile)
 
 # xxhash 32-bit primes + two more odd constants; index = hash function id.
 SEEDS = np.array(
@@ -109,12 +139,20 @@ def _fmix32(z: np.ndarray) -> np.ndarray:
     return z
 
 
-def hash_rows_np(codes: np.ndarray, hash_functions: int, rows: int) -> np.ndarray:
+def hash_rows_np(
+    codes: np.ndarray, hash_functions: int, rows: int, scheme: str = "rbt1"
+) -> np.ndarray:
     """uint32 row indices, shape ``codes.shape + (hash_functions,)``.
 
-    row_i = fastrange32(fmix32(code * SEED[i]), rows)
+    rbt1: row_i = fastrange32(fmix32(code * SEED[i]), rows)
+    rbt2: row_i = block(code) * 8 + offset_i(code)   (see module doc)
     """
     codes = np.asarray(codes, dtype=np.uint32)
+    if scheme == "rbt2":
+        block, offs = block_offsets_np(codes, hash_functions, rows)
+        return block[..., None] * np.uint32(BLOCK_ROWS) + offs
+    if scheme != "rbt1":
+        raise ValueError(f"unknown hash scheme {scheme!r}")
     out = np.empty(codes.shape + (hash_functions,), dtype=np.uint32)
     for i in range(hash_functions):
         z = _fmix32(codes * SEEDS[i])
@@ -122,3 +160,33 @@ def hash_rows_np(codes: np.ndarray, hash_functions: int, rows: int) -> np.ndarra
             np.uint32
         )
     return out
+
+
+def block_offsets_np(
+    codes: np.ndarray, hash_functions: int, rows: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """rbt2 (block, offsets) per code: block u32 [...], offsets u32 [..., h].
+
+    Offsets are h distinct values in [0, BLOCK_ROWS); see module doc for
+    the order-statistics construction (reproduced bit-exactly on device in
+    ibf.query and natively in native/rbt_native.cpp).
+    """
+    if rows % BLOCK_ROWS:
+        raise ValueError(f"rbt2 needs rows % {BLOCK_ROWS} == 0, got {rows}")
+    if hash_functions > BLOCK_ROWS:
+        raise ValueError("rbt2 needs hash_functions <= 8")
+    codes = np.asarray(codes, dtype=np.uint32)
+    n_blocks = np.uint64(rows // BLOCK_ROWS)
+    z0 = _fmix32(codes * SEEDS[0])
+    block = ((z0.astype(np.uint64) * n_blocks) >> np.uint64(32)).astype(np.uint32)
+    v = _fmix32(codes * SEEDS[1])
+    offs = np.empty(codes.shape + (hash_functions,), dtype=np.uint32)
+    offs[..., 0] = v & np.uint32(7)
+    for i in range(1, hash_functions):
+        t = ((v >> np.uint32(3 * i)) % np.uint32(BLOCK_ROWS - i)).astype(np.uint32)
+        # bump past previously chosen offsets in ascending order
+        prior = np.sort(offs[..., :i], axis=-1)
+        for j in range(i):
+            t = t + (t >= prior[..., j]).astype(np.uint32)
+        offs[..., i] = t
+    return block, offs

@@ -21,7 +21,16 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass, field
 
-__all__ = ["IBFParams", "bin_size_bits", "optimal_bins", "filter_size_bits"]
+from readbouncer_tpu.errors import InvalidParamsError
+
+__all__ = [
+    "IBFParams",
+    "bin_size_bits",
+    "blocked_rows_for_fp",
+    "blocked_fp",
+    "optimal_bins",
+    "filter_size_bits",
+]
 
 
 def bin_size_bits(
@@ -38,6 +47,85 @@ def bin_size_bits(
         1.0 / (hash_functions * max_kmer_count),
     )
     return int(math.ceil(-1.0 / (inner - 1.0)))
+
+
+def blocked_fp(rows: int, n_keys: int, hash_functions: int, block: int = 8) -> float:
+    """Exact false-positive rate of one rbt2 bin column.
+
+    Model: the column has ``rows`` bits in ``rows/block`` blocks; each of
+    ``n_keys`` inserted k-mers picks a uniform block and sets
+    ``hash_functions`` DISTINCT bits of it; a uniform query is a false
+    positive iff its own h-subset of its block is fully set.  Occupancy
+    of a block follows a Markov chain over the number of set bits u:
+    inserting one key moves u -> u + t with hypergeometric
+    P(t | u) = C(block-u, t) * C(u, h-t) / C(block, h); keys per block are
+    Poisson(lambda = n_keys * block / rows).  Conditioned on j keys with
+    occupancy u, P(false positive) = C(u, h) / C(block, h).
+    """
+    h = hash_functions
+    lam = n_keys * block / rows
+    if lam > 64.0:
+        # >=64 expected keys per 8-bit block: saturated, exp(-lam) would
+        # underflow the Poisson mixture to a bogus 0
+        return 1.0
+    # occupancy distribution after j insertions, j up to a Poisson tail cut
+    j_max = max(8, int(lam + 12.0 * math.sqrt(lam) + 12))
+    occ = [0.0] * (block + 1)
+    occ[0] = 1.0
+    denom = math.comb(block, h)
+    fp_given_j = []  # E[C(u,h)]/C(block,h) after j keys
+    fp_given_j.append(sum(p * math.comb(u, h) for u, p in enumerate(occ)) / denom)
+    for _ in range(j_max):
+        nxt = [0.0] * (block + 1)
+        for u, p in enumerate(occ):
+            if p == 0.0:
+                continue
+            for t in range(0, h + 1):
+                if t > block - u or h - t > u:
+                    continue
+                q = math.comb(block - u, t) * math.comb(u, h - t) / denom
+                nxt[u + t] += p * q
+        occ = nxt
+        fp_given_j.append(sum(p * math.comb(u, h) for u, p in enumerate(occ)) / denom)
+    # Poisson mixture over j
+    pj = math.exp(-lam)
+    fp = pj * fp_given_j[0]
+    for j in range(1, j_max + 1):
+        pj *= lam / j
+        fp += pj * fp_given_j[j]
+    return fp
+
+
+def blocked_rows_for_fp(
+    n_keys: int, hash_functions: int, max_fp: float, block: int = 8
+) -> int:
+    """Smallest rows (multiple of ``block``) with blocked_fp <= max_fp.
+
+    The rbt2 analog of bin_size_bits: blocked filters trade ~1.4x bits
+    for one-tile-per-window gathers (ibf.hashing module doc).
+    """
+    # blocked fp >= unblocked fp at equal size, so the reference formula
+    # (rows for an ideal h-hash Bloom) seeds the lower bound
+    ideal = -1.0 / (
+        math.pow(1.0 - math.pow(max_fp, 1.0 / hash_functions), 1.0 / (hash_functions * n_keys))
+        - 1.0
+    )
+    lo = max(block, int(ideal) // block * block)
+    hi = lo
+    while blocked_fp(hi, n_keys, hash_functions, block) > max_fp:
+        lo = hi
+        hi *= 2
+        if hi > (1 << 34):
+            raise InvalidParamsError("blocked sizing diverged")
+    while lo + block < hi:
+        mid = (lo + hi) // 2 // block * block
+        if mid <= lo:
+            break
+        if blocked_fp(mid, n_keys, hash_functions, block) > max_fp:
+            lo = mid
+        else:
+            hi = mid
+    return hi
 
 
 def optimal_bins(num_bins: int) -> int:
@@ -72,6 +160,10 @@ class IBFParams:
     hash_functions: int = 3
     max_fp: float = 0.01
     overlap_length: int = 1500  # only applied to fragment 0 in the reference
+    # "rbt2" (blocked rows, one-tile-per-window TPU gather) for new builds;
+    # "rbt1" keeps the reference-shaped independent-row scheme and its
+    # sizing formula golden (79_121_216 bits).  See ibf.hashing module doc.
+    hash_scheme: str = "rbt2"
 
     # number of sequence records read per host batch (streaming)
     n_refs: int = 400
@@ -86,21 +178,33 @@ class IBFParams:
         return self.build_threads if self.build_threads > 0 else (os.cpu_count() or 1)
 
     def validate(self) -> "IBFParams":
+        from readbouncer_tpu.ibf.hashing import SUPPORTED_SCHEMES
+
         if self.kmer_size < 1 or self.kmer_size > 15:
-            raise ValueError(
+            raise InvalidParamsError(
                 f"kmer_size must be in [1, 15] (base-5 k-mer codes), got {self.kmer_size}"
             )
         if self.fragment_length <= self.kmer_size:
-            raise ValueError("fragment_length must exceed kmer_size")
+            raise InvalidParamsError("fragment_length must exceed kmer_size")
         if self.hash_functions < 1 or self.hash_functions > 5:
-            raise ValueError("hash_functions must be in [1, 5]")
+            raise InvalidParamsError("hash_functions must be in [1, 5]")
         if not (0.0 < self.max_fp < 1.0):
-            raise ValueError("max_fp must be in (0, 1)")
+            raise InvalidParamsError("max_fp must be in (0, 1)")
+        if self.hash_scheme not in SUPPORTED_SCHEMES:
+            raise InvalidParamsError(
+                f"hash_scheme must be one of {SUPPORTED_SCHEMES}, got {self.hash_scheme!r}"
+            )
         return self
 
     @property
     def rows(self) -> int:
-        """Hash rows = bits per bin slice."""
+        """Hash rows = bits per bin slice (scheme-dependent sizing)."""
+        if self.hash_scheme == "rbt2":
+            return blocked_rows_for_fp(
+                self.fragment_length - self.kmer_size + 1,
+                self.hash_functions,
+                self.max_fp,
+            )
         return bin_size_bits(
             self.fragment_length, self.kmer_size, self.hash_functions, self.max_fp
         )

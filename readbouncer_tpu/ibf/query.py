@@ -38,10 +38,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from readbouncer_tpu.ibf.hashing import SEEDS
+from readbouncer_tpu.errors import EmptyFilterError, FilterGeometryError
+from readbouncer_tpu.ibf.hashing import BLOCK_ROWS, SEEDS
 from readbouncer_tpu.ibf.storage import IBFData
 
-__all__ = ["umulhi_u32", "fmix32_jnp", "kmer_codes_jnp", "FilterStack"]
+__all__ = [
+    "umulhi_u32",
+    "fmix32_jnp",
+    "kmer_codes_jnp",
+    "block_offsets_jnp",
+    "FilterStack",
+]
 
 
 def umulhi_u32(a: jnp.ndarray, b: jnp.ndarray | int) -> jnp.ndarray:
@@ -90,6 +97,40 @@ def kmer_codes_jnp(reads: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.stack([fwd, rc], axis=1)
 
 
+def block_offsets_jnp(
+    codes: jnp.ndarray, h: int, rows: int
+) -> tuple[jnp.ndarray, list[jnp.ndarray]]:
+    """rbt2 (block, offset list) per code — device port of
+    hashing.block_offsets_np (bit-identical; see ibf/hashing.py doc)."""
+    n_blocks = rows // BLOCK_ROWS
+    z0 = fmix32_jnp(codes * jnp.uint32(int(SEEDS[0])))
+    block = umulhi_u32(z0, jnp.uint32(n_blocks))
+    v = fmix32_jnp(codes * jnp.uint32(int(SEEDS[1])))
+    offs = [v & jnp.uint32(7)]
+    for i in range(1, h):
+        t = (v >> jnp.uint32(3 * i)) % jnp.uint32(BLOCK_ROWS - i)
+        prior = jnp.sort(jnp.stack(offs, axis=-1), axis=-1)
+        for j in range(i):
+            t = t + (t >= prior[..., j]).astype(jnp.uint32)
+        offs.append(t)
+    return block, offs
+
+
+def _hash_rows_all_jnp(
+    codes: jnp.ndarray, h: int, rows: int, scheme: str
+) -> list[jnp.ndarray]:
+    """Per-hash int32 row indices (list of h arrays shaped like codes)."""
+    if scheme == "rbt2":
+        block, offs = block_offsets_jnp(codes, h, rows)
+        base = block * jnp.uint32(BLOCK_ROWS)
+        return [(base + o).astype(jnp.int32) for o in offs]
+    out = []
+    for i in range(h):
+        z = fmix32_jnp(codes * jnp.uint32(int(SEEDS[i])))
+        out.append(umulhi_u32(z, jnp.uint32(rows)).astype(jnp.int32))
+    return out
+
+
 @dataclass(frozen=True)
 class FilterSegment:
     """One filter's bin range inside a stacked bits matrix."""
@@ -112,19 +153,22 @@ class FilterStack:
 
     def __init__(self, filters: list[IBFData], interpret: bool = False):
         if not filters:
-            raise ValueError("FilterStack needs at least one filter")
+            raise EmptyFilterError("FilterStack needs at least one filter")
         k = filters[0].kmer_size
         h = filters[0].hash_functions
         rows = filters[0].rows
+        scheme = filters[0].scheme
         for f in filters:
-            if (f.kmer_size, f.hash_functions, f.rows) != (k, h, rows):
-                raise ValueError(
-                    "all filters in a stack must share kmer_size/hash_functions/rows; "
-                    f"got {(f.kmer_size, f.hash_functions, f.rows)} vs {(k, h, rows)}"
+            if (f.kmer_size, f.hash_functions, f.rows, f.scheme) != (k, h, rows, scheme):
+                raise FilterGeometryError(
+                    "all filters in a stack must share kmer_size/hash_functions/rows/scheme; "
+                    f"got {(f.kmer_size, f.hash_functions, f.rows, f.scheme)} vs "
+                    f"{(k, h, rows, scheme)}"
                 )
         self.kmer_size = k
         self.hash_functions = h
         self.rows = rows
+        self.scheme = scheme
         self.interpret = interpret
         self.segments: list[FilterSegment] = []
         off = 0
@@ -163,6 +207,7 @@ class FilterStack:
             k=self.kmer_size,
             h=self.hash_functions,
             rows=self.rows,
+            scheme=self.scheme,
         )
 
     def max_counts(
@@ -217,6 +262,7 @@ def _counts_impl(
     k: int,
     h: int,
     rows: int,
+    scheme: str = "rbt1",
     accum: str | None = None,
 ) -> jnp.ndarray:
     """Per-bin window-match counts, int32 [R, 2, W*32].
@@ -251,7 +297,7 @@ def _counts_impl(
     if accum is None:
         accum = "tree" if jax.default_backend() == "cpu" else "pallas"
     if accum == "pallas":
-        return _counts_pallas(bits, reads, lengths, k=k, h=h, rows=rows)
+        return _counts_pallas(bits, reads, lengths, k=k, h=h, rows=rows, scheme=scheme)
     codes = kmer_codes_jnp(reads, k)  # [R, 2, n]
     n_valid = jnp.maximum(lengths - (k - 1), 0)  # [R]
 
@@ -261,14 +307,11 @@ def _counts_impl(
     codes = jnp.pad(codes, ((0, 0), (0, 0), (0, n_pad - n)))
     # [steps, R, 2, wc]
     codes = jnp.moveaxis(codes.reshape(R, 2, n_pad // wc, wc), 2, 0)
-    rows_u32 = jnp.uint32(rows)
 
     def step(planes, inp):
         codes_c, base = inp  # [R, 2, wc], scalar window offset
         anded = None
-        for i in range(h):
-            z = fmix32_jnp(codes_c * jnp.uint32(int(SEEDS[i])))
-            ridx = umulhi_u32(z, rows_u32).astype(jnp.int32)
+        for ridx in _hash_rows_all_jnp(codes_c, h, rows, scheme):
             g = jnp.take(bits, ridx, axis=0)  # [R, 2, wc, W]
             anded = g if anded is None else (anded & g)
         win_idx = base + jnp.arange(wc, dtype=jnp.int32)  # [wc]
@@ -321,24 +364,55 @@ def _counts_pallas(
     k: int,
     h: int,
     rows: int,
-    interpret: bool = False,
+    scheme: str = "rbt1",
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
-    """counts via the Pallas accumulation kernel (see _counts_impl doc)."""
+    """counts via the Pallas accumulation kernel (see _counts_impl doc).
+
+    The gather+AND stage is scheme-dependent and is the dominant cost
+    (docs/PERF_NOTES.md):
+
+    * rbt1 — h independent row gathers + AND.  Every row gather moves a
+      full (8, 128) HBM tile on TPU, so this pays h tile fetches per
+      window (measured 36.3 ms for the 2048x250 batch at realistic
+      geometry on v5e).
+    * rbt2 — ONE gather of the k-mer's 8-row block ([8, W] slice = the
+      tile the hardware fetches anyway), then an AND-reduction over the
+      8 block rows with non-selected rows masked to all-ones:
+          anded = AND_s (g[s] | ~selected(s))
+      where selected(s) = OR_i (offset_i == s).  This reads the gathered
+      tile exactly once in one fused XLA consumer (a per-hash one-hot
+      select would make the gather a producer of h consumers and risk
+      fusion duplication — h gathers again).
+    """
     from readbouncer_tpu.ops.ibf_count_pallas import accumulate_counts_pallas
 
+    if interpret is None:  # Mosaic kernels only compile for TPU backends
+        interpret = jax.default_backend() == "cpu"
     R, L = reads.shape
-    W = bits.shape[1]
+    W = bits.shape[-1]
     n = L - k + 1
     codes = kmer_codes_jnp(reads, k)  # [R, 2, n]
     n_valid = jnp.maximum(lengths - (k - 1), 0)  # [R]
-    rows_u32 = jnp.uint32(rows)
 
-    anded = None
-    for i in range(h):
-        z = fmix32_jnp(codes * jnp.uint32(int(SEEDS[i])))
-        ridx = umulhi_u32(z, rows_u32).astype(jnp.int32)
-        g = jnp.take(bits, ridx, axis=0)  # [R, 2, n, W]
-        anded = g if anded is None else (anded & g)
+    if scheme == "rbt2":
+        block, offs = block_offsets_jnp(codes, h, rows)
+        tab3 = bits.reshape(rows // BLOCK_ROWS, BLOCK_ROWS, W)
+        g = jnp.take(tab3, block.astype(jnp.int32), axis=0)  # [R, 2, n, 8, W]
+        s_idx = jnp.arange(BLOCK_ROWS, dtype=jnp.uint32)
+        selected = None  # [R, 2, n, 8] — which block rows belong to this k-mer
+        for o in offs:
+            m = o[..., None] == s_idx
+            selected = m if selected is None else (selected | m)
+        masked = jnp.where(selected[..., None], g, jnp.uint32(0xFFFFFFFF))
+        anded = masked[..., 0, :]
+        for s in range(1, BLOCK_ROWS):
+            anded = anded & masked[..., s, :]
+    else:
+        anded = None
+        for ridx in _hash_rows_all_jnp(codes, h, rows, scheme):
+            g = jnp.take(bits, ridx, axis=0)  # [R, 2, n, W]
+            anded = g if anded is None else (anded & g)
     valid = jnp.arange(n, dtype=jnp.int32)[None, :] < n_valid[:, None]  # [R, n]
     anded = jnp.where(valid[:, None, :, None], anded, jnp.uint32(0))
 
@@ -379,5 +453,7 @@ def _max_counts_impl(
     return jnp.stack(outs, axis=1)  # [R, F]
 
 
-_counts_jit = jax.jit(_counts_impl, static_argnames=("k", "h", "rows", "accum"))
+_counts_jit = jax.jit(
+    _counts_impl, static_argnames=("k", "h", "rows", "scheme", "accum")
+)
 _max_counts_jit = jax.jit(_max_counts_impl, static_argnames=("segments",))

@@ -25,7 +25,9 @@ def counts_np(ibf: IBFData, bases: np.ndarray) -> np.ndarray:
     for s, codes in enumerate((fwd, rc)):
         if codes.size == 0:
             continue
-        rows = hash_rows_np(codes, ibf.hash_functions, ibf.rows)  # [n, h]
+        rows = hash_rows_np(
+            codes, ibf.hash_functions, ibf.rows, scheme=ibf.scheme
+        )  # [n, h]
         words = ibf.bits[rows.astype(np.int64)]  # [n, h, W]
         anded = words[:, 0, :]
         for i in range(1, ibf.hash_functions):

@@ -27,7 +27,8 @@ from pathlib import Path
 
 import numpy as np
 
-from readbouncer_tpu.ibf.hashing import HASH_SCHEME
+from readbouncer_tpu.errors import FilterFileError, FilterSchemeError
+from readbouncer_tpu.ibf.hashing import HASH_SCHEME, SUPPORTED_SCHEMES
 from readbouncer_tpu.ibf.params import optimal_bins
 
 __all__ = ["IBFData", "sniff"]
@@ -46,6 +47,9 @@ class IBFData:
     fragment_length: int = 0
     max_fp: float = 0.01
     name: str = ""
+    # hash scheme the bits were built with (ibf.hashing module doc);
+    # queries must dispatch on this
+    scheme: str = HASH_SCHEME
     # per-bin provenance: (seqid, fragment_start, fragment_end); optional
     bin_seqids: list[str] = field(default_factory=list)
     bin_ranges: np.ndarray | None = None  # uint64 [bins, 2]
@@ -76,6 +80,7 @@ class IBFData:
         fragment_length: int = 0,
         max_fp: float = 0.01,
         name: str = "",
+        scheme: str = HASH_SCHEME,
     ) -> "IBFData":
         words = optimal_bins(num_bins) // 32
         return cls(
@@ -86,6 +91,7 @@ class IBFData:
             fragment_length=fragment_length,
             max_fp=max_fp,
             name=name,
+            scheme=scheme,
         )
 
     def resize_bins(self, new_num_bins: int) -> "IBFData":
@@ -105,7 +111,7 @@ class IBFData:
         path = Path(path)
         payload: dict[str, np.ndarray] = {
             "magic": np.array(_MAGIC),
-            "scheme": np.array(HASH_SCHEME),
+            "scheme": np.array(self.scheme),
             "kmer_size": np.array(self.kmer_size, dtype=np.int64),
             "hash_functions": np.array(self.hash_functions, dtype=np.int64),
             "num_bins": np.array(self.num_bins, dtype=np.int64),
@@ -124,14 +130,14 @@ class IBFData:
     @classmethod
     def load(cls, path: str | Path, name: str | None = None) -> "IBFData":
         if not sniff(path):
-            raise ValueError(f"{path}: not a {_MAGIC} filter file")
+            raise FilterFileError(f"{path}: not a {_MAGIC} filter file")
         with np.load(path, allow_pickle=False) as z:
             if "magic" not in z or str(z["magic"]) != _MAGIC:
-                raise ValueError(f"{path}: not a {_MAGIC} filter file")
+                raise FilterFileError(f"{path}: not a {_MAGIC} filter file")
             scheme = str(z["scheme"])
-            if scheme != HASH_SCHEME:
-                raise ValueError(
-                    f"{path}: hash scheme {scheme!r} != supported {HASH_SCHEME!r}"
+            if scheme not in SUPPORTED_SCHEMES:
+                raise FilterSchemeError(
+                    f"{path}: hash scheme {scheme!r} not in supported {SUPPORTED_SCHEMES}"
                 )
             return cls(
                 kmer_size=int(z["kmer_size"]),
@@ -141,6 +147,7 @@ class IBFData:
                 fragment_length=int(z["fragment_length"]),
                 max_fp=float(z["max_fp"]),
                 name=name if name is not None else str(z["name"]),
+                scheme=scheme,
                 bin_seqids=[str(s) for s in z["bin_seqids"]] if "bin_seqids" in z else [],
                 bin_ranges=np.array(z["bin_ranges"]) if "bin_ranges" in z else None,
             )

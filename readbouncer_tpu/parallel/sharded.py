@@ -33,7 +33,8 @@ __all__ = ["ShardedFilterStack"]
 
 
 def _classify_step_impl(
-    bits, reads, lengths, thr_base, thr_retry, bin_mask, *, k, h, rows, segments
+    bits, reads, lengths, thr_base, thr_retry, bin_mask, *, k, h, rows, segments,
+    scheme="rbt1",
 ):
     """Fused device step: counts once, both thresholds evaluated.
 
@@ -41,7 +42,7 @@ def _classify_step_impl(
     second count pass in C++; counts are threshold-independent, so here it
     is a free re-threshold of one counts pass.
     """
-    counts = _counts_impl(bits, reads, lengths, k=k, h=h, rows=rows)
+    counts = _counts_impl(bits, reads, lengths, k=k, h=h, rows=rows, scheme=scheme)
     max_base = _max_counts_impl(counts, thr_base, bin_mask, segments=segments)
     max_retry = _max_counts_impl(counts, thr_retry, bin_mask, segments=segments)
     return max_base, max_retry
@@ -79,6 +80,7 @@ class ShardedFilterStack:
                 h=stack.hash_functions,
                 rows=stack.rows,
                 segments=stack._seg_spec,
+                scheme=stack.scheme,
             ),
             in_shardings=(bits_sh, data2, data, data, data, mask_sh),
             out_shardings=(out_sh, out_sh),

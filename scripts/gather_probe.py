@@ -79,6 +79,47 @@ def main():
 
         dt = timeit(jax.jit(tile_and), tab3, tidx, g)
         print(f"tile gather+select+AND M={M}: {dt*1e3:.2f} ms")
+    elif args.exp == "g72h1":
+        # single gather at h=1 table scale: the reference sizing formula at
+        # h=1 gives ~99.5 bits/key -> 8x rows; tests whether per-index
+        # gather cost survives a 2.9GB table (HBM reach/locality)
+        big_rows = ROWS * 8
+        tab = jax.random.bits(key, (big_rows, 72), jnp.uint32)
+        idxb = jax.random.randint(key, (M,), 0, big_rows, jnp.int32)
+        dt = timeit(jax.jit(lambda t, i: jnp.take(t, i, axis=0)), tab, idxb)
+        print(f"gather [8x rows,72] M={M}: {dt*1e3:.2f} ms  {M/dt/1e6:.1f} Mrows/s")
+    elif args.exp in ("gwide", "gwide_and"):
+        # blocked table stored as ONE wide row per block: [n_blocks, 8*72];
+        # if gather cost is per-index (not per-byte), this fetches a whole
+        # 8-row block for the price of one row lookup
+        n_blocks = ROWS // 8
+        tabw = jax.random.bits(key, (n_blocks, 8 * 72), jnp.uint32)
+        tidx = jax.random.randint(key, (M,), 0, n_blocks, jnp.int32)
+        if args.exp == "gwide":
+            dt = timeit(jax.jit(lambda t, i: jnp.take(t, i, axis=0)), tabw, tidx)
+            print(f"wide gather [blocks,576] M={M}: {dt*1e3:.2f} ms  {M/dt/1e6:.1f} Mblk/s")
+        else:
+            g = jax.random.randint(key, (M, 3), 0, 8, jnp.int32)
+
+            def wide_and(t, i, g):
+                tiles = jnp.take(t, i, axis=0).reshape(M, 8, 72)
+                sel = jnp.zeros((M, 8), jnp.bool_)
+                for j in range(3):
+                    sel = sel | (g[:, j : j + 1] == jnp.arange(8)[None, :])
+                masked = jnp.where(sel[:, :, None], tiles, jnp.uint32(0xFFFFFFFF))
+                out = masked[:, 0, :]
+                for s in range(1, 8):
+                    out = out & masked[:, s, :]
+                return out
+
+            dt = timeit(jax.jit(wide_and), tabw, tidx, g)
+            print(f"wide gather+mask+AND M={M}: {dt*1e3:.2f} ms")
+    elif args.exp == "g144":
+        # 2-row granularity: [rows/2, 144] — per-index cost vs payload probe
+        tab = jax.random.bits(key, (ROWS // 2, 144), jnp.uint32)
+        idx2 = jax.random.randint(key, (M,), 0, ROWS // 2, jnp.int32)
+        dt = timeit(jax.jit(lambda t, i: jnp.take(t, i, axis=0)), tab, idx2)
+        print(f"gather [rows/2,144] M={M}: {dt*1e3:.2f} ms  {M/dt/1e6:.1f} Mrows/s")
     elif args.exp == "g3":
         tab = jax.random.bits(key, (ROWS, 72), jnp.uint32)
         idx3 = jax.random.randint(key, (3, M), 0, ROWS, jnp.int32)

@@ -39,6 +39,28 @@ def test_params_validate():
 
 
 def test_rows_property():
-    p = IBFParams(kmer_size=13, fragment_length=100_000)
+    p = IBFParams(kmer_size=13, fragment_length=100_000, hash_scheme="rbt1")
     assert p.rows == 79_121_216 // 64
     assert p.total_bits(2) == 79_121_216
+
+
+def test_blocked_sizing():
+    """rbt2 sizing: minimal multiple of 8 meeting max_fp, always >= rbt1."""
+    from readbouncer_tpu.ibf.params import blocked_fp, blocked_rows_for_fp
+
+    n = 100_000 - 13 + 1
+    rows = blocked_rows_for_fp(n, 3, 0.01)
+    assert rows % 8 == 0
+    assert blocked_fp(rows, n, 3) <= 0.01
+    assert blocked_fp(rows - 8, n, 3) > 0.01  # minimality
+    assert rows > bin_size_bits(100_000, 13, 3, 0.01)  # blocking costs bits
+    # default params use the blocked sizing
+    p2 = IBFParams(kmer_size=13, fragment_length=100_000)
+    assert p2.hash_scheme == "rbt2" and p2.rows == rows
+
+
+def test_blocked_fp_saturation_and_empty():
+    from readbouncer_tpu.ibf.params import blocked_fp
+
+    assert blocked_fp(8, 10_000, 3) == 1.0  # saturated block shortcut
+    assert blocked_fp(8_000_000, 1, 3) < 1e-5  # nearly empty filter

@@ -160,3 +160,95 @@ def test_accum_ripple_matches_tree():
     a = _counts_impl(bits, reads, lengths, k=k, h=h, rows=rows, accum="ripple")
     b = _counts_impl(bits, reads, lengths, k=k, h=h, rows=rows, accum="tree")
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# rbt2 (blocked rows) scheme — round 3
+
+
+def test_rbt2_offsets_distinct_and_in_range():
+    from readbouncer_tpu.ibf.hashing import block_offsets_np
+    from readbouncer_tpu.ibf.query import block_offsets_jnp
+
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, 1 << 32, size=5000, dtype=np.uint64).astype(np.uint32)
+    for h in (1, 2, 3, 5):
+        blk, offs = block_offsets_np(codes, h, 8 * 997)
+        assert blk.max() < 997 and offs.max() < 8
+        srt = np.sort(offs, axis=-1)
+        if h > 1:
+            assert (np.diff(srt, axis=-1) > 0).all()
+        # device port is bit-identical
+        import jax.numpy as jnp
+
+        dblk, doffs = block_offsets_jnp(jnp.asarray(codes), h, 8 * 997)
+        np.testing.assert_array_equal(np.asarray(dblk), blk)
+        np.testing.assert_array_equal(
+            np.stack([np.asarray(o) for o in doffs], axis=-1), offs
+        )
+
+
+def test_rbt2_counts_match_exact_oracle(tmp_path):
+    """rbt2 device path == numpy oracle == exact containment counts."""
+    from readbouncer_tpu.ibf.query import _counts_impl
+
+    rng = np.random.default_rng(21)
+    seq = _rand_seq(rng, 2500)
+    path = _fasta(tmp_path, "r2.fasta", [("r2", seq)])
+    params = IBFParams(kmer_size=13, fragment_length=100_000, hash_scheme="rbt2")
+    ibf, _ = build_ibf([path], params, name="r2")
+    assert ibf.scheme == "rbt2" and ibf.rows % 8 == 0
+    stack = FilterStack([ibf])
+    read = seq[300:550]
+    from readbouncer_tpu.classify.engine import encode_batch
+
+    enc, lens = encode_batch([read], 250)
+    counts = np.asarray(stack.counts(enc, lens))[0]
+    fwd, rc = _exact_counts(seq, read, 13)
+    assert counts[0, 0] == fwd and counts[1, 0] == rc
+    # numpy oracle agrees bin-for-bin
+    oracle = counts_np(ibf, encode_bases(read))
+    np.testing.assert_array_equal(counts[:, : ibf.padded_bins], oracle)
+    # pallas accumulate path (interpret on CPU) agrees too
+    import jax.numpy as jnp
+
+    c_pl = np.asarray(
+        _counts_impl(
+            jnp.asarray(stack.bits),
+            jnp.asarray(enc),
+            jnp.asarray(lens),
+            k=13,
+            h=3,
+            rows=stack.rows,
+            scheme="rbt2",
+            accum="pallas",
+        )
+    )[0]
+    np.testing.assert_array_equal(c_pl, counts)
+
+
+def test_rbt2_empirical_fp_rate(tmp_path):
+    """A loaded rbt2 filter keeps its false-positive rate near max_fp.
+
+    Builds at fragment_length=2000 (so the sizing solver's Poisson model
+    is exercised at real load) and measures the per-window FP rate of
+    off-target reads; the blocked-occupancy model should keep it within
+    ~2x of the 0.01 target (sampling noise + model idealization).
+    """
+    rng = np.random.default_rng(33)
+    seq = _rand_seq(rng, 2000)
+    path = _fasta(tmp_path, "fp.fasta", [("fp", seq)])
+    params = IBFParams(kmer_size=13, fragment_length=2000, hash_scheme="rbt2")
+    ibf, _ = build_ibf([path], params, name="fp")
+    k = 13
+    n_windows = 0
+    n_hits = 0
+    for _ in range(40):
+        read = _rand_seq(rng, 500)
+        c = counts_np(ibf, encode_bases(read))
+        # random 500-mers share essentially no true 13-mers with a random
+        # 2 kb fragment (expected ~0.0001 per window) -> counts ~ FP hits
+        n_windows += 2 * (500 - k + 1)
+        n_hits += int(c[:, 0].sum())
+    fp = n_hits / n_windows
+    assert fp < 0.02, f"empirical FP {fp:.4f} vs target 0.01"
