@@ -33,6 +33,7 @@ from pathlib import Path
 import numpy as np
 
 from readbouncer_tpu.classify.fused import make_fused_classify_fn
+from readbouncer_tpu.errors import EmptyFilterError
 from readbouncer_tpu.classify.math import ci_and_threshold_batch
 from readbouncer_tpu.classify.policy import classify_decisions
 from readbouncer_tpu.fastio.fasta import FastaWriter, read_records
@@ -118,7 +119,7 @@ class ClassifyEngine:
         batch_size: int = 1024,
     ):
         if not target_filters and not deplete_filters:
-            raise ValueError(
+            raise EmptyFilterError(
                 "No depletion or target filters have been provided for classification!"
             )
         self.targets = FilterStack(target_filters) if target_filters else None

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import tomllib
 from dataclasses import dataclass, field
+
+from readbouncer_tpu.errors import ConfigError, MissingInputError
 from pathlib import Path
 
 __all__ = ["IBFParamsConfig", "MinKNOWParams", "BasecallerParams", "TPUParams", "ConfigReader"]
@@ -34,6 +36,10 @@ class IBFParamsConfig:
     target_files: list[Path] = field(default_factory=list)
     deplete_files: list[Path] = field(default_factory=list)
     read_files: list[Path] = field(default_factory=list)
+    # usage="update": the existing .ribf to extend with target_files
+    # (rebuild-specific: the reference's IBF::update_filter exists but is
+    # unreachable from any TOML usage, src/IBF/IBFBuild.cpp:223)
+    update_filter: Path | None = None
 
 
 @dataclass
@@ -81,7 +87,7 @@ class TPUParams:
 class ConfigReader:
     """Parse + validate a ReadBouncer TOML config file."""
 
-    VALID_USAGES = ("build", "classify", "target", "test")
+    VALID_USAGES = ("build", "classify", "update", "target", "test")
 
     def __init__(self, config_file: str | Path):
         self.config_file = Path(config_file)
@@ -101,9 +107,9 @@ class ConfigReader:
         try:
             self.usage = str(self._raw["usage"])
         except KeyError as e:
-            raise KeyError("config file must set 'usage'") from e
+            raise ConfigError("config file must set 'usage'") from e
         if self.usage not in self.VALID_USAGES:
-            raise ValueError(
+            raise ConfigError(
                 f"usage must be one of {self.VALID_USAGES}, got {self.usage!r}"
             )
         self.output_dir = Path(self._raw.get("output_directory", "."))
@@ -124,13 +130,24 @@ class ConfigReader:
         self.ibf.deplete_files = [Path(p) for p in t.get("deplete_files", [])]
         rf = t.get("read_files", [])
         self.ibf.read_files = [Path(p) for p in rf]
+        uf = t.get("update_filter", "")
+        self.ibf.update_filter = Path(uf) if uf else None
         if self.usage != "test":
             if not self.ibf.target_files and not self.ibf.deplete_files:
-                raise ValueError(
+                raise MissingInputError(
                     "at least one of IBF.target_files / IBF.deplete_files is required"
                 )
         if self.usage == "classify" and not self.ibf.read_files:
-            raise ValueError("classify usage requires IBF.read_files")
+            raise MissingInputError("classify usage requires IBF.read_files")
+        if self.usage == "update":
+            if self.ibf.update_filter is None:
+                raise MissingInputError(
+                    "update usage requires IBF.update_filter (the .ribf to extend)"
+                )
+            if not self.ibf.target_files:
+                raise MissingInputError(
+                    "update usage requires IBF.target_files (new references to append)"
+                )
 
     def read_minknow(self) -> None:
         """reference: src/config/configReader.cpp:353-386."""
@@ -191,6 +208,7 @@ class ConfigReader:
             f"target_files = {[str(p) for p in self.ibf.target_files]!r}",
             f"deplete_files = {[str(p) for p in self.ibf.deplete_files]!r}",
             f"read_files = {[str(p) for p in self.ibf.read_files]!r}",
+            f'update_filter = "{self.ibf.update_filter or ""}"',
             "",
             "[MinKNOW]",
             f'host = "{self.minknow.host}"',

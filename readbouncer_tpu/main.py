@@ -14,6 +14,7 @@ import time
 from pathlib import Path
 
 from readbouncer_tpu.config import ConfigReader
+from readbouncer_tpu.errors import ConfigError
 from readbouncer_tpu.utils.logging import get_logger, setup_loggers
 
 __all__ = ["main", "run_program", "get_filters", "filter_output_path"]
@@ -81,6 +82,39 @@ def run_build(config: ConfigReader, verbose: bool) -> int:
     return 0
 
 
+def run_update(config: ConfigReader, verbose: bool) -> int:
+    """Append new references to an existing filter (usage="update").
+
+    Makes IBF::update_filter reachable — in the reference it exists but
+    no TOML usage can call it (src/IBF/IBFBuild.cpp:223-321, SURVEY §5.4).
+    The updated filter is written to <output>/<stem>.ribf.
+    """
+    from readbouncer_tpu.ibf.build import update_ibf
+    from readbouncer_tpu.ibf.params import IBFParams
+    from readbouncer_tpu.ibf.storage import IBFData
+
+    log = get_logger("IbfLog")
+    src = config.ibf.update_filter
+    ibf = IBFData.load(src, name=Path(src).stem)
+    params = IBFParams(
+        kmer_size=ibf.kmer_size,
+        fragment_length=ibf.fragment_length or config.ibf.fragment_size,
+        hash_functions=ibf.hash_functions,
+        max_fp=ibf.max_fp,
+        hash_scheme=ibf.scheme,
+    )
+    ibf, stats = update_ibf(ibf, config.ibf.target_files, params)
+    dest = filter_output_path(config.output_dir, Path(src))
+    ibf.save(dest)
+    log.info(
+        "updated %s -> %s: +%d bins (%d total), %d bits",
+        src, dest, stats.new_bins, ibf.num_bins, stats.filter_size_bits,
+    )
+    if verbose:
+        print(f"updated {dest}: +{stats.new_bins} bins ({ibf.num_bins} total)")
+    return 0
+
+
 def run_classify(config: ConfigReader, verbose: bool) -> int:
     """reference: main.cpp:346-369 -> classify_reads."""
     from readbouncer_tpu.classify.engine import classify_read_files
@@ -108,7 +142,7 @@ def make_replay_source(config: ConfigReader):
     from readbouncer_tpu.stream.replay import ReplaySource
 
     if not config.tpu.replay_file:
-        raise ValueError(
+        raise ConfigError(
             "target/test usage needs TPU.replay_file (the replayed signal "
             "source standing in for a live MinKNOW run)"
         )
@@ -185,6 +219,7 @@ def run_program(config: ConfigReader, verbose: bool = False) -> int:
     dispatch = {
         "build": run_build,
         "classify": run_classify,
+        "update": run_update,
         "target": run_target,
         "test": run_test,
     }

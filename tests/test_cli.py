@@ -151,3 +151,59 @@ def test_cli_bad_usage(genome, tmp_path):
     cfg.write_text('usage = "frobnicate"\n')
     with pytest.raises(ValueError, match="usage"):
         main(["--config", str(cfg)])
+
+
+def test_cli_update_roundtrip(genome, capsys, tmp_path):
+    """usage="update" extends an existing .ribf (VERDICT r2 missing #7).
+
+    Build target.fasta, then append deplete.fasta's sequences via the
+    update usage, and check the updated filter classifies reads from BOTH
+    genomes to it.
+    """
+    cfg = _write_config(genome, "build")
+    assert main(["--config", str(cfg)]) == 0
+    ribf = genome / "out_build" / "target.ribf"
+    assert ribf.exists()
+
+    ucfg = genome / "update.toml"
+    ucfg.write_text(
+        f'''
+usage = "update"
+output_directory = "{genome}/out_update"
+log_directory = "{genome}/log_update"
+
+[IBF]
+update_filter = "{ribf}"
+target_files = ["{genome}/deplete.fasta"]
+'''
+    )
+    assert main(["--config", str(ucfg), "--verbose"]) == 0
+    out = capsys.readouterr().out
+    assert "updated" in out
+
+    from readbouncer_tpu.ibf.storage import IBFData
+    from readbouncer_tpu.ibf.query_np import max_count_np
+    from readbouncer_tpu.ibf.hashing import encode_bases
+
+    orig = IBFData.load(ribf)
+    upd = IBFData.load(genome / "out_update" / "target.ribf")
+    assert upd.num_bins > orig.num_bins
+    t_seq = (genome / "target.fasta").read_text().splitlines()[1]
+    d_seq = (genome / "deplete.fasta").read_text().splitlines()[1]
+    # reads from the ORIGINAL references still match the updated filter...
+    assert max_count_np(upd, encode_bases(t_seq[100:300]), 1) >= 150
+    # ...and reads from the APPENDED references now match too
+    assert max_count_np(upd, encode_bases(d_seq[100:300]), 1) >= 150
+    assert max_count_np(orig, encode_bases(d_seq[100:300]), 50) == 0
+
+
+def test_cli_update_missing_inputs(genome, tmp_path):
+    from readbouncer_tpu.errors import MissingInputError
+
+    cfg = tmp_path / "bad_update.toml"
+    cfg.write_text(
+        f'usage = "update"\noutput_directory = "{tmp_path}"\n'
+        f'log_directory = "{tmp_path}"\n[IBF]\ntarget_files = ["{genome}/target.fasta"]\n'
+    )
+    with pytest.raises(MissingInputError):
+        main(["--config", str(cfg)])
