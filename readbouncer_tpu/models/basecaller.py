@@ -21,7 +21,12 @@ import numpy as np
 
 from readbouncer_tpu.models.ctc import beam_search_decode, greedy_decode
 from readbouncer_tpu.models.gru import GRUBasecallerModel, frame_signal, med_mad_normalize
-from readbouncer_tpu.models.weights import default_weights_path, load_deepnano_weights
+from readbouncer_tpu.models.weights import (
+    default_weights_path,
+    load_deepnano_weights,
+    load_params_npz,
+    synth_weights_path,
+)
 
 __all__ = ["Basecaller", "GRUBasecaller"]
 
@@ -44,8 +49,28 @@ class GRUBasecaller(Basecaller):
     beam_cut_threshold: float = 0.01
 
     def __post_init__(self):
-        w = load_deepnano_weights(default_weights_path(self.network, self.weights_dir))
-        self.model = GRUBasecallerModel(w, frame_stride=self.frame_stride)
+        """Resolve the network name to weights.
+
+        ``network`` is either a DeepNano-blitz net id ("48".."96" — the
+        rnn<net>.txt files, reference src/weights/), a trained-params id
+        ("synth48" etc. — data/gru_<net>.npz from
+        scripts/train_basecaller.py), or an explicit .npz path.
+        """
+        if self.network.endswith(".npz"):
+            params = load_params_npz(self.network)
+            self.model = GRUBasecallerModel(
+                None, frame_stride=self.frame_stride, params_in=params
+            )
+        elif self.network.startswith("synth"):
+            params = load_params_npz(synth_weights_path(self.network, self.weights_dir))
+            self.model = GRUBasecallerModel(
+                None, frame_stride=self.frame_stride, params_in=params
+            )
+        else:
+            w = load_deepnano_weights(
+                default_weights_path(self.network, self.weights_dir)
+            )
+            self.model = GRUBasecallerModel(w, frame_stride=self.frame_stride)
 
     def frames_for(self, signal: np.ndarray) -> np.ndarray:
         return frame_signal(

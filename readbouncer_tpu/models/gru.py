@@ -67,15 +67,23 @@ class GRUBasecallerModel:
     batched == single bit-for-bit behavior within f32.
     """
 
-    weights: GRUWeights
+    weights: GRUWeights | None
     frame_stride: int = 5
     dtype: jnp.dtype = jnp.float32
     precision: str = "highest"
     # "xla" = lax.scan recurrence; "pallas" = VMEM-resident Pallas kernel
     # (ops/gru_pallas.py); "auto" picks pallas on TPU backends
     backend: str = "auto"
+    # pre-built param pytree (trained nets via weights.load_params_npz);
+    # overrides `weights` when given
+    params_in: dict | None = None
 
     def __post_init__(self):
+        if self.params_in is not None:
+            dt = self.dtype
+            self.params = jax.tree.map(lambda v: jnp.asarray(v, dt), self.params_in)
+            self._finish_init()
+            return
         w = self.weights
         dt = self.dtype
         self.params = {
@@ -100,6 +108,9 @@ class GRUBasecallerModel:
                 for l in w.layers
             ],
         }
+        self._finish_init()
+
+    def _finish_init(self):
         backend = self.backend
         if backend == "auto":
             backend = (
@@ -119,11 +130,11 @@ class GRUBasecallerModel:
 
     @property
     def hidden(self) -> int:
-        return self.weights.hidden
+        return int(self.params["w_in"].shape[1])
 
     @property
     def window(self) -> int:
-        return self.weights.input_features
+        return int(self.params["w_in"].shape[0])
 
     def logits(self, frames: jnp.ndarray) -> jnp.ndarray:
         """frames [B, T, window] -> CTC logits [B, T, 5]."""

@@ -27,7 +27,17 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["GRUWeights", "GRULayerWeights", "load_deepnano_weights", "default_weights_path"]
+from readbouncer_tpu.errors import WeightsError
+
+__all__ = [
+    "GRUWeights",
+    "GRULayerWeights",
+    "load_deepnano_weights",
+    "default_weights_path",
+    "save_params_npz",
+    "load_params_npz",
+    "synth_weights_path",
+]
 
 
 @dataclass
@@ -73,7 +83,7 @@ def _read_tensors(path: Path) -> list[np.ndarray]:
         vals = np.fromiter(lines[i + 1].split(), dtype=np.float64)
         want = int(np.prod(dims))
         if vals.size != want:
-            raise ValueError(
+            raise WeightsError(
                 f"{path}: tensor {len(tensors)}: expected {want} values for dims {dims}, got {vals.size}"
             )
         tensors.append(vals.reshape(dims).astype(np.float32))
@@ -85,7 +95,7 @@ def load_deepnano_weights(path: str | Path) -> GRUWeights:
     path = Path(path)
     t = _read_tensors(path)
     if len(t) != 52:
-        raise ValueError(f"{path}: expected 52 tensors, got {len(t)}")
+        raise WeightsError(f"{path}: expected 52 tensors, got {len(t)}")
     w_in, b_in = t[0], t[1]
     H = w_in.shape[1]
     layers = []
@@ -103,6 +113,61 @@ def load_deepnano_weights(path: str | Path) -> GRUWeights:
     w_out, b_out = t[idx], t[idx + 1]
     assert w_out.shape == (H, 5), w_out.shape
     return GRUWeights(w_in, b_in, layers, w_out, b_out)
+
+
+def save_params_npz(params: dict, path: str | Path) -> None:
+    """Persist a trained GRU param pytree (models/train.py layout) as npz.
+
+    The layout is the fused-gate form GRUBasecallerModel builds from
+    rnn*.txt files (w_in/b_in, per-layer w_zrn/b_zrn/r_zr/b_hzr/rn/bhn,
+    w_out/b_out) — the trainer and the file-parsed nets share one forward.
+    """
+    flat: dict[str, np.ndarray] = {"format": np.array("rbt-gru-params-1")}
+    for k in ("w_in", "b_in", "w_out", "b_out"):
+        flat[k] = np.asarray(params[k])
+    flat["num_layers"] = np.array(len(params["layers"]), dtype=np.int64)
+    for i, layer in enumerate(params["layers"]):
+        for k, v in layer.items():
+            flat[f"layer{i}/{k}"] = np.asarray(v)
+    with open(path, "wb") as f:
+        np.savez(f, **flat)
+
+
+def load_params_npz(path: str | Path) -> dict:
+    """Load a save_params_npz file back into the forward's param pytree."""
+    with np.load(path, allow_pickle=False) as z:
+        fmt = str(z["format"]) if "format" in z else ""
+        if fmt != "rbt-gru-params-1":
+            raise WeightsError(f"{path}: not a rbt-gru-params-1 file (format={fmt!r})")
+        n = int(z["num_layers"])
+        return {
+            "w_in": np.array(z["w_in"]),
+            "b_in": np.array(z["b_in"]),
+            "w_out": np.array(z["w_out"]),
+            "b_out": np.array(z["b_out"]),
+            "layers": [
+                {
+                    k: np.array(z[f"layer{i}/{k}"])
+                    for k in ("w_zrn", "b_zrn", "r_zr", "b_hzr", "rn", "bhn")
+                }
+                for i in range(n)
+            ],
+        }
+
+
+def synth_weights_path(network: str = "synth48", weights_dir: str | Path = "") -> Path:
+    """Locate a trained-params npz (scripts/train_basecaller.py output)."""
+    candidates = []
+    if weights_dir:
+        candidates.append(Path(weights_dir) / f"gru_{network}.npz")
+    here = Path(__file__).resolve().parent.parent.parent
+    candidates.append(here / "data" / f"gru_{network}.npz")
+    for c in candidates:
+        if c.exists():
+            return c
+    raise FileNotFoundError(
+        f"gru_{network}.npz not found in any of: {[str(c) for c in candidates]}"
+    )
 
 
 def default_weights_path(network: str = "48", weights_dir: str | Path = "") -> Path:

@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Train the GRU basecaller on the synthetic pore model (VERDICT r2 #2b).
+
+The reference ships pretrained nets for real r9.4.1 chemistry
+(reference: src/weights/rnn*.txt through the prebuilt Rust deepnano2);
+the replay harness synthesizes signal with its own pore model
+(stream/replay.sequence_to_signal), so a net trained on THAT model is
+what makes ``caller="DeepNano"`` produce correct bases in replay runs.
+This script trains rnn48-shaped params (66->48, 4 GRU layers, CTC head)
+on synthetic (signal, sequence) pairs using the exact featurization of
+models.basecaller.GRUBasecaller (med/MAD normalize, window 66, stride 5)
+and writes data/gru_synth48.npz once eval identity passes the bar.
+
+Run (TPU or CPU):  python scripts/train_basecaller.py [--steps N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import numpy as np
+import optax
+
+from readbouncer_tpu.models.ctc import greedy_decode
+from readbouncer_tpu.models.eval import batch_identity
+from readbouncer_tpu.models.gru import frame_signal, gru_logits, med_mad_normalize
+from readbouncer_tpu.models.train import init_gru_params, make_train_step
+from readbouncer_tpu.models.weights import save_params_npz
+from readbouncer_tpu.stream.replay import sequence_to_signal
+
+WINDOW = 66
+STRIDE = 5
+SAMPLES_PER_BASE = 9
+NOISE = 2.0
+
+
+def make_batch(rng: np.random.Generator, batch: int, bases: int):
+    """(frames, frame_lens, labels, label_lens, seqs) at fixed shapes."""
+    t_max = (bases * SAMPLES_PER_BASE - WINDOW) // STRIDE + 1
+    frames = np.zeros((batch, t_max, WINDOW), dtype=np.float32)
+    frame_lens = np.zeros(batch, dtype=np.int32)
+    labels = np.zeros((batch, bases), dtype=np.int32)
+    label_lens = np.zeros(batch, dtype=np.int32)
+    seqs = []
+    for i in range(batch):
+        n = int(rng.integers(bases // 2, bases + 1))
+        ids = rng.integers(0, 4, n)
+        seq = "".join("ACGT"[j] for j in ids)
+        sig = sequence_to_signal(seq, SAMPLES_PER_BASE, NOISE, rng)
+        f = frame_signal(med_mad_normalize(sig), WINDOW, STRIDE, max_frames=t_max)
+        frames[i, : f.shape[0]] = f
+        frame_lens[i] = f.shape[0]
+        labels[i, :n] = ids + 1  # CTC ids: blank=0, ACGT=1..4
+        label_lens[i] = n
+        seqs.append(seq)
+    return frames, frame_lens, labels, label_lens, seqs
+
+
+def evaluate(params, rng, batch=32, bases=360):
+    frames, frame_lens, labels, label_lens, seqs = make_batch(rng, batch, bases)
+    logits = np.asarray(jax.jit(gru_logits)(params, frames))
+    calls = greedy_decode(logits, frame_lens)
+    return batch_identity(seqs, calls), calls[0][:60], seqs[0][:60]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--bases", type=int, default=160)
+    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--target", type=float, default=0.97)
+    ap.add_argument("--out", default=str(Path(__file__).resolve().parent.parent / "data" / "gru_synth48.npz"))
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(1234)
+    eval_rng = np.random.default_rng(999)
+    params = init_gru_params(jax.random.PRNGKey(0))
+    sched = optax.cosine_decay_schedule(args.lr, args.steps, alpha=0.05)
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
+    opt_state = optimizer.init(params)
+    step_fn = make_train_step(optimizer)
+
+    print(f"training: steps={args.steps} batch={args.batch} bases={args.bases} "
+          f"backend={jax.default_backend()}", flush=True)
+    t0 = time.time()
+    best = 0.0
+    for step in range(1, args.steps + 1):
+        batch = make_batch(rng, args.batch, args.bases)[:4]
+        params, opt_state, loss = step_fn(params, opt_state, batch)
+        if step % 200 == 0 or step == args.steps:
+            host = jax.tree.map(np.asarray, params)
+            ident, call0, true0 = evaluate(host, np.random.default_rng(999))
+            print(f"step {step}: loss={float(loss):.4f} eval_identity={ident:.4f} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+            print(f"  true: {true0}\n  call: {call0}", flush=True)
+            if ident > best:
+                best = ident
+                Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+                save_params_npz(host, args.out)
+            if ident >= args.target:
+                print(f"target {args.target} reached; saved {args.out}", flush=True)
+                break
+    print(f"done: best identity {best:.4f} -> {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
