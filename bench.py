@@ -1,12 +1,22 @@
 #!/usr/bin/env python
-"""Headline benchmark: offline classification throughput (reads/s).
+"""Headline benchmark: offline classification throughput at REALISTIC geometry.
 
-Mirrors the reference's published benchmark shape — a 100k-read set
-classified against 4 IBFs (3 target + 1 deplete), k=13 — at ~506 reads/s
-on CPU (reference README.md:253-263; BASELINE.md).  Here: synthetic
-genomes + reads (deterministic), one host, one chip; the measured span
-covers host encode + device counts/thresholds/decisions, i.e. the full
-classify hot path (classify/engine.py).
+Mirrors the reference's published benchmark shape (reference
+README.md:253-263): a large read set classified against 4 IBFs
+(3 target + 1 deplete) built from multi-Mb genomes (512 x 100 kb
+fragments per filter), k=13 — the workload the reference clocks at
+~506 reads/s on CPU (BASELINE.md).  Round-2's bench used 300 kb toy
+genomes (W=8 words); that bench lives on as scripts/bench_toy.py.
+
+Read mix mirrors the reference run's ~48% classified yield
+(README.md:255-257): half the reads are target-derived (resolve on
+chunk 0), a quarter deplete-derived and a quarter random — both of
+which run the full 4-chunk budget unclassified, exactly like the
+reference's unclassified majority.
+
+The measured span covers host encode + H2D + device counts/thresholds/
+decisions for every chunk wave — the full classify hot path
+(classify/engine.py), amortized over asynchronously dispatched batches.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -14,24 +24,61 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
+from pathlib import Path
 
 import numpy as np
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 BASELINE_READS_PER_SEC = 506.0  # reference README.md:253-263
 
-GENOME_LEN = 300_000
+BINS_PER_FILTER = 512
 N_READS = 40_960
 READ_LEN = 1_000
 ERROR_RATE = 0.1
-BATCH_SIZE = 8_192
+BATCH_SIZE = 2_048
+CACHE = Path(__file__).resolve().parent / ".bench_cache"
 
 
 def synth_genome(rng: np.random.Generator, n: int) -> str:
-    return "".join(np.array(list("ACGT"))[rng.integers(0, 4, size=n)])
+    return bytes(
+        np.frombuffer(b"ACGT", dtype=np.uint8)[rng.integers(0, 4, size=n)]
+    ).decode()
 
 
-def reads_from(rng: np.random.Generator, genome: str, n: int, length: int) -> list[str]:
+def get_filters(params, n_filters: int = 4):
+    """Build-or-load the 4 realistic filters (cached under .bench_cache)."""
+    from readbouncer_tpu.ibf.build import build_ibf
+    from readbouncer_tpu.ibf.storage import IBFData
+
+    CACHE.mkdir(exist_ok=True)
+    genome_len = BINS_PER_FILTER * params.fragment_length
+    filters, genomes = [], []
+    for i in range(n_filters):
+        tag = "" if params.hash_scheme == "rbt1" else f"_{params.hash_scheme}"
+        name = f"g{i}_b{BINS_PER_FILTER}_f{params.fragment_length}_k{params.kmer_size}"
+        gpath = CACHE / f"{name}.fasta"
+        fpath = CACHE / f"{name}{tag}.ribf"
+        if not gpath.exists():
+            rng = np.random.default_rng(1000 + i)
+            gpath.write_text(f">{name}\n{synth_genome(rng, genome_len)}\n")
+        if fpath.exists():
+            filters.append(IBFData.load(fpath))
+        else:
+            t0 = time.monotonic()
+            ibf, _ = build_ibf([gpath], params, name=name)
+            ibf.save(fpath)
+            print(f"# built {fpath.name}: rows={ibf.rows} words={ibf.words} "
+                  f"({time.monotonic()-t0:.1f}s)")
+            filters.append(ibf)
+        genomes.append(gpath.read_text().split("\n", 1)[1].replace("\n", ""))
+    return filters, genomes
+
+
+def reads_from(rng, genome: str, n: int, length: int) -> list[str]:
     """Substrings with ERROR_RATE random substitutions (nanopore-ish)."""
     g = np.frombuffer(genome.encode(), dtype=np.uint8)
     starts = rng.integers(0, len(genome) - length, size=n)
@@ -46,38 +93,22 @@ def reads_from(rng: np.random.Generator, genome: str, n: int, length: int) -> li
 
 def main() -> None:
     from readbouncer_tpu.classify.engine import ClassifyEngine
-    from readbouncer_tpu.ibf.build import build_ibf
     from readbouncer_tpu.ibf.params import IBFParams
 
     rng = np.random.default_rng(42)
     params = IBFParams(kmer_size=13, fragment_length=100_000)
+    filters, genomes = get_filters(params)
+    targets, depletes = filters[:3], filters[3:]
 
-    import tempfile
-    from pathlib import Path
-
-    with tempfile.TemporaryDirectory() as td:
-        targets, depletes = [], []
-        genomes = {}
-        for i in range(3):
-            name = f"target{i}"
-            genomes[name] = synth_genome(rng, GENOME_LEN)
-            p = Path(td) / f"{name}.fasta"
-            p.write_text(f">{name}\n{genomes[name]}\n")
-            targets.append(build_ibf([p], params, name=name)[0])
-        genomes["deplete"] = synth_genome(rng, GENOME_LEN)
-        p = Path(td) / "deplete.fasta"
-        p.write_text(f">deplete\n{genomes['deplete']}\n")
-        depletes.append(build_ibf([p], params, name="deplete")[0])
-
-    # read set: half on-target (split over the 3 targets), a quarter
-    # deplete-derived, a quarter random (unclassifiable, runs all waves)
+    # read mix: half on-target (over the 3 targets), quarter deplete,
+    # quarter random (unclassifiable, runs all chunk waves)
     seqs: list[str] = []
     per_t = N_READS // 6
     for i in range(3):
-        seqs += reads_from(rng, genomes[f"target{i}"], per_t, READ_LEN)
-    seqs += reads_from(rng, genomes["deplete"], N_READS // 4, READ_LEN)
+        seqs += reads_from(rng, genomes[i], per_t, READ_LEN)
+    seqs += reads_from(rng, genomes[3], N_READS // 4, READ_LEN)
     n_rand = N_READS - len(seqs)
-    rand_g = synth_genome(rng, GENOME_LEN)
+    rand_g = synth_genome(rng, 1_000_000)
     seqs += reads_from(rng, rand_g, n_rand, READ_LEN)
     order = rng.permutation(len(seqs))
     seqs = [seqs[i] for i in order]
@@ -85,8 +116,8 @@ def main() -> None:
     engine = ClassifyEngine(
         targets, depletes, error_rate=ERROR_RATE, batch_size=BATCH_SIZE
     )
-    # warmup: compile every wave shape
-    engine.classify_sequences(seqs[: BATCH_SIZE])
+    # warmup: compile every wave shape (phase A + all phase-B buckets)
+    engine.classify_sequences(seqs[:BATCH_SIZE])
 
     t0 = time.perf_counter()
     classified, best, _ = engine.classify_sequences(seqs)
@@ -96,7 +127,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "classify_reads_per_sec",
+                "metric": "classify_reads_per_sec_realistic",
                 "value": round(reads_per_sec, 1),
                 "unit": "reads/s",
                 "vs_baseline": round(reads_per_sec / BASELINE_READS_PER_SEC, 2),

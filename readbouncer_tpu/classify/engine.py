@@ -308,9 +308,17 @@ def classify_read_files(
     batch_size: int = 1024,
     host_batch_reads: int = 8192,
     verbose: bool = True,
+    shard: tuple[int, int] = (0, 1),
+    output_suffix: str = "",
 ) -> ClassifyResults:
     """Drive classification over read files, writing per-target FASTAs and
     unclassified.fasta (reference: classify_reads, src/main/classify.hpp:142-380).
+
+    ``shard=(i, n)``: process only records whose index % n == i — the
+    per-host input shard of a multi-host run (parallel/distributed.py);
+    counters then cover this shard only (aggregate across hosts with
+    aggregate_counters).  ``output_suffix`` keeps per-host FASTA outputs
+    from colliding on a shared filesystem.
     """
     engine = ClassifyEngine(
         target_filters,
@@ -327,9 +335,10 @@ def classify_read_files(
     results.per_target = {name: 0 for name in engine.target_names}
 
     target_writers = [
-        FastaWriter(output_dir / f"{name}.fasta") for name in engine.target_names
+        FastaWriter(output_dir / f"{name}{output_suffix}.fasta")
+        for name in engine.target_names
     ]
-    unclassified = FastaWriter(output_dir / "unclassified.fasta")
+    unclassified = FastaWriter(output_dir / f"unclassified{output_suffix}.fasta")
     t_start = time.monotonic()
     try:
         for read_file in read_files:
@@ -364,7 +373,10 @@ def classify_read_files(
                 ids.clear()
                 seqs.clear()
 
-            for rec in read_records(read_file):
+            shard_i, shard_n = shard
+            for rec_idx, rec in enumerate(read_records(read_file)):
+                if shard_n > 1 and rec_idx % shard_n != shard_i:
+                    continue
                 results.read_counter += 1
                 if len(rec.seq) < chunk_length:
                     results.too_short += 1

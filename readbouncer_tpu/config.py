@@ -82,6 +82,11 @@ class TPUParams:
     unblock_duration: float = 0.1
     replay_file: str = ""  # signal source for the replay harness
     mesh_shape: str = ""  # e.g. "data:4,bins:2"
+    # multi-host: jax.distributed coordinator ("host0:8476"); empty = single
+    # process.  Input shards per host; GSPMD runs over the global mesh.
+    coordinator: str = ""
+    num_processes: int = 0
+    process_id: int = -1
 
 
 class ConfigReader:

@@ -119,9 +119,17 @@ def run_classify(config: ConfigReader, verbose: bool) -> int:
     """reference: main.cpp:346-369 -> classify_reads."""
     from readbouncer_tpu.classify.engine import classify_read_files
 
+    from readbouncer_tpu.parallel.distributed import (
+        aggregate_counters,
+        process_count,
+        process_index,
+    )
+
     targets = get_filters(config, config.ibf.target_files, verbose)
     depletes = get_filters(config, config.ibf.deplete_files, verbose)
-    classify_read_files(
+    n_proc = process_count()
+    idx = process_index()
+    results = classify_read_files(
         read_files=config.ibf.read_files,
         target_filters=targets,
         deplete_filters=depletes,
@@ -131,8 +139,35 @@ def run_classify(config: ConfigReader, verbose: bool) -> int:
         chunk_length=config.ibf.chunk_length,
         max_chunks=config.ibf.max_chunks,
         batch_size=config.tpu.batch_size,
-        verbose=True,
+        verbose=(n_proc == 1),
+        shard=(idx, n_proc),
+        output_suffix=f".h{idx}" if n_proc > 1 else "",
     )
+    if n_proc > 1:
+        # process-0 report over the summed per-host shard counters
+        summed = aggregate_counters(
+            {
+                "found": results.found,
+                "failed": results.failed,
+                "too_short": results.too_short,
+                "read_counter": results.read_counter,
+                **{f"t:{k}": v for k, v in results.per_target.items()},
+            }
+        )
+        if idx == 0:
+            from readbouncer_tpu.classify.engine import ClassifyResults
+
+            agg = ClassifyResults(
+                found=summed["found"],
+                failed=summed["failed"],
+                too_short=summed["too_short"],
+                read_counter=summed["read_counter"],
+                per_target={
+                    k[2:]: v for k, v in summed.items() if k.startswith("t:")
+                },
+                avg_classify_seconds=results.avg_classify_seconds,
+            )
+            print(agg.report(config.ibf.chunk_length))
     return 0
 
 
@@ -146,11 +181,21 @@ def make_replay_source(config: ConfigReader):
             "target/test usage needs TPU.replay_file (the replayed signal "
             "source standing in for a live MinKNOW run)"
         )
-    return ReplaySource.from_fasta(
+    src = ReplaySource.from_fasta(
         [config.tpu.replay_file],
         channels=config.minknow.max_channel - config.minknow.min_channel + 1,
         break_seconds=config.tpu.break_reads_after_seconds,
     )
+    from readbouncer_tpu.parallel.distributed import host_shard, process_count
+
+    if process_count() > 1:
+        # per-host flowcell shard: each host serves a slice of the channel
+        # range and of the queued reads — the multi-host data-parallel
+        # split (parallel/distributed.py); decisions stay host-local
+        src.reads = host_shard(src.reads)
+        src.channels = max(1, len(host_shard(list(range(src.channels)))))
+        src.__post_init__()
+    return src
 
 
 def run_target(config: ConfigReader, verbose: bool) -> int:
@@ -244,6 +289,14 @@ def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv)
     t0 = time.monotonic()
     config = ConfigReader(args.config).parse()
+    if config.tpu.coordinator:
+        from readbouncer_tpu.parallel.distributed import init_distributed
+
+        init_distributed(
+            config.tpu.coordinator,
+            config.tpu.num_processes,
+            config.tpu.process_id,
+        )
     setup_loggers(config.log_dir)
     config.create_log()
     log = get_logger("ReadBouncerLog")

@@ -19,10 +19,12 @@ Per-read state machines preserved exactly:
 * basecall pending: chunks whose basecalled (concatenated) sequence is
   still under ``basecall_min_len`` (250 bp) are parked and prepended to
   the read's next chunk (src/basecaller/DeepNano/DeepNanoBasecaller.cpp:52-97),
-* once_seen: an unclassified read is remembered; on its next chunk the
-  sequences are concatenated and re-checked (one extra batched pass);
-  past ``give_up_len`` (1500 bp) the read is assumed on-target and gets
-  stop_receiving (src/main/adaptive_sampling.hpp:278-337).
+* once_seen: an unclassified read is remembered; its next chunk is
+  classified on the CONCATENATED sequence inside the same per-tick
+  device batch (the reference concatenates before check_unblock,
+  src/main/adaptive_sampling.hpp:283-311 — no extra device pass); past
+  ``give_up_len`` (1500 bp) the read is assumed on-target and gets
+  stop_receiving (src/main/adaptive_sampling.hpp:313-325).
 """
 
 from __future__ import annotations
@@ -335,45 +337,35 @@ class AdaptiveSampler:
             self.stats.basecall_seconds += bc_dt
             for c in chunks:  # batch-attributed per-read basecall span
                 self.measures[c.read_id].basecall.add(bc_dt / len(chunks))
-            items: list[tuple[SignalChunk, str]] = []
+            # Assemble ONE classification batch per tick.  A read already
+            # in once_seen is checked on its CONCATENATED sequence — the
+            # reference's semantics (it concatenates before check_unblock,
+            # adaptive_sampling.hpp:283-311) — so the old "second pass"
+            # device round trip per tick is gone entirely.
+            items: list[tuple[SignalChunk, str, str, int]] = []
             for c, s in zip(chunks, seqs):
                 s = self.pending_bc.pop(c.read_id, "") + s
                 if len(s) < self.cfg.basecall_min_len:
                     self.pending_bc[c.read_id] = s
                     continue
-                items.append((c, s))
+                prev, iterstep = self.once_seen.pop(c.read_id, ("", 0))
+                items.append((c, s, prev + s, iterstep))
             if items:
                 t0 = time.monotonic()
-                decisions = self.classifier.decide([s for _, s in items])
-                second: list[tuple[SignalChunk, str, int]] = []
-                for (c, s), d in zip(items, decisions):
+                decisions = self.classifier.decide([full for _, _, full, _ in items])
+                for (c, s, full, iterstep), d in zip(items, decisions):
                     if d == DECISION_UNBLOCK:
-                        prev, _ = self.once_seen.pop(c.read_id, ("", 0))
-                        self._emit(c, prev + s, True)
+                        self._emit(c, full, True)
                     elif d == DECISION_STOP_RECEIVING:
-                        self.once_seen.pop(c.read_id, None)
-                        self._emit(c, s, False)
+                        self._emit(c, full, False)
+                    elif iterstep > 0 and len(full) > self.cfg.give_up_len:
+                        # assume on-target (adaptive_sampling.hpp:313-325)
+                        self._emit(c, full, False)
                     else:
-                        entry = self.once_seen.pop(c.read_id, None)
-                        if entry is not None:
-                            second.append((c, entry[0] + s, entry[1]))
-                        else:
-                            self.once_seen[c.read_id] = (s, 1)
-                if second:
-                    d2 = self.classifier.decide([s for _, s, _ in second])
-                    for (c, s, iterstep), d in zip(second, d2):
-                        if d == DECISION_UNBLOCK:
-                            self._emit(c, s, True)
-                        elif d == DECISION_STOP_RECEIVING:
-                            self._emit(c, s, False)
-                        elif len(s) > self.cfg.give_up_len:
-                            # assume on-target (adaptive_sampling.hpp:313-325)
-                            self._emit(c, s, False)
-                        else:
-                            self.once_seen[c.read_id] = (s, iterstep + 1)
+                        self.once_seen[c.read_id] = (full, iterstep + 1)
                 cl_dt = time.monotonic() - t0
                 self.stats.classify_seconds += cl_dt
-                for c, _ in items:  # batch-attributed classify span
+                for c, _, _, _ in items:  # batch-attributed classify span
                     tm = self.measures.get(c.read_id)
                     if tm is not None:
                         tm.classify.add(cl_dt / len(items))

@@ -79,6 +79,30 @@ def main():
 
         dt = timeit(jax.jit(tile_and), tab3, tidx, g)
         print(f"tile gather+select+AND M={M}: {dt*1e3:.2f} ms")
+    elif args.exp in ("gpar2", "gpar4", "gpar8"):
+        # split ONE gather into K independent gathers fused in one program:
+        # g3 shows aggregate rate grows with concurrent gathers (80.6 vs
+        # 62.5 Mrows/s) — find the concurrency ceiling
+        K = int(args.exp[4:])
+        tab = jax.random.bits(key, (ROWS, 72), jnp.uint32)
+        parts = [
+            jax.random.randint(jax.random.fold_in(key, j), (M // K,), 0, ROWS, jnp.int32)
+            for j in range(K)
+        ]
+
+        def gpar(t, *idxs):
+            return [jnp.take(t, i, axis=0) for i in idxs]
+
+        dt = timeit(jax.jit(gpar), tab, *parts)
+        print(f"{K}-way split gather M={M}: {dt*1e3:.2f} ms  {M/dt/1e6:.1f} Mrows/s")
+    elif args.exp == "g128h1":
+        # h=1-sized table at full 128-lane rows: does lane alignment recover
+        # the per-index cost on a multi-GB table?
+        big_rows = ROWS * 8
+        tab = jax.random.bits(key, (big_rows, 128), jnp.uint32)
+        idxb = jax.random.randint(key, (M,), 0, big_rows, jnp.int32)
+        dt = timeit(jax.jit(lambda t, i: jnp.take(t, i, axis=0)), tab, idxb)
+        print(f"gather [8x rows,128] M={M}: {dt*1e3:.2f} ms  {M/dt/1e6:.1f} Mrows/s")
     elif args.exp == "g72h1":
         # single gather at h=1 table scale: the reference sizing formula at
         # h=1 gives ~99.5 bits/key -> 8x rows; tests whether per-index

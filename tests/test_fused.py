@@ -122,3 +122,60 @@ def test_fused_live_matches_policy(filters):
         np.asarray(stacks_t.max_counts(tc, thr(stacks_t, 0.08))),
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_two_phase_boundary_lengths(filters):
+    """Exact boundary lengths through the two-phase engine (VERDICT r2 #8).
+
+    * len == chunk_length (exactly one full chunk; phase B must NOT run)
+    * len == (C-1)*cl + k - 1 and + k and + k + 1 — the fail/unclassified
+      boundary of the driver (engine.classify_read_files fail_below)
+    * len just over a chunk boundary (cl + 1: 1-base second chunk < k)
+    """
+    genomes, tf, df = filters
+    rng = np.random.default_rng(9)
+    cl, C = 250, 3
+    engine = ClassifyEngine(tf, df, error_rate=0.1, chunk_length=cl,
+                            max_chunks=C, batch_size=16)
+    g = genomes["t0"]
+    lengths = [
+        cl,                       # exactly one chunk
+        cl + 1,                   # second chunk of 1 base (< k)
+        cl + 12,                  # second chunk of k-1 (unmatched, not error)
+        cl + 13,                  # second chunk of exactly k
+        (C - 1) * cl + 12,        # last chunk k-1
+        (C - 1) * cl + 13,        # last chunk exactly k
+        (C - 1) * cl + 14,
+        C * cl,                   # full length
+    ]
+    seqs = []
+    for i, L in enumerate(lengths):
+        s = int(rng.integers(0, len(g) - C * cl))
+        seqs.append(g[s : s + L])
+        # also an off-target read of the same length (runs every chunk)
+        seqs.append("".join("ACGT"[j] for j in rng.integers(0, 4, L)))
+    c1, b1, a1 = engine.classify_sequences(seqs)
+    c2, b2, a2 = engine.classify_sequences_waves(seqs)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(b1, b2)
+    np.testing.assert_array_equal(a1, a2)
+    # on-target single-chunk read classifies in phase A with 1 attempt
+    assert c1[0] and a1[0] == 1
+
+
+def test_two_phase_all_unresolved_padding(filters):
+    """An all-unresolved phase-B batch with m2 < B exercises the padding
+    path (engine.classify_sequences phase B: rb/lb zero-fill)."""
+    genomes, tf, df = filters
+    rng = np.random.default_rng(10)
+    # 5 random reads (nothing classifies) of 3-chunk length, batch 16:
+    # phase B gets a single underfull bucket
+    seqs = ["".join("ACGT"[j] for j in rng.integers(0, 4, 750)) for _ in range(5)]
+    engine = ClassifyEngine(tf, df, error_rate=0.1, chunk_length=250,
+                            max_chunks=3, batch_size=16)
+    c1, b1, a1 = engine.classify_sequences(seqs)
+    c2, b2, a2 = engine.classify_sequences_waves(seqs)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(b1, b2)
+    np.testing.assert_array_equal(a1, a2)
+    assert not c1.any() and (a1 == 3).all()
