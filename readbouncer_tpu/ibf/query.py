@@ -397,6 +397,10 @@ def _counts_pallas(
 
     if scheme == "rbt2":
         block, offs = block_offsets_jnp(codes, h, rows)
+        # materialize indices before the gather: fused index expressions
+        # make XLA's gather loop re-evaluate the hash per row (measured
+        # +40% per-index cost — docs/PERF_NOTES.md)
+        block = jax.lax.optimization_barrier(block)
         tab3 = bits.reshape(rows // BLOCK_ROWS, BLOCK_ROWS, W)
         g = jnp.take(tab3, block.astype(jnp.int32), axis=0)  # [R, 2, n, 8, W]
         s_idx = jnp.arange(BLOCK_ROWS, dtype=jnp.uint32)
@@ -410,7 +414,10 @@ def _counts_pallas(
             anded = anded & masked[..., s, :]
     else:
         anded = None
-        for ridx in _hash_rows_all_jnp(codes, h, rows, scheme):
+        ridxs = jax.lax.optimization_barrier(
+            _hash_rows_all_jnp(codes, h, rows, scheme)
+        )
+        for ridx in ridxs:
             g = jnp.take(bits, ridx, axis=0)  # [R, 2, n, W]
             anded = g if anded is None else (anded & g)
     valid = jnp.arange(n, dtype=jnp.int32)[None, :] < n_valid[:, None]  # [R, n]

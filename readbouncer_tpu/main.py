@@ -202,10 +202,21 @@ def run_target(config: ConfigReader, verbose: bool) -> int:
     """reference: adaptive_sampling, src/main/adaptive_sampling.hpp:555-774."""
     from readbouncer_tpu.stream.scheduler import AdaptiveSampler, LiveClassifier, LiveConfig
 
+    from readbouncer_tpu.stream.control import ReplayConnection
+
     log = get_logger("RUClientLog")
     targets = get_filters(config, config.ibf.target_files, verbose)
     depletes = get_filters(config, config.ibf.deplete_files, verbose)
     source = make_replay_source(config)
+    # bootstrap sequence mirrors the reference's adaptive_sampling
+    # (connect -> wait for acquisition -> set chunk cadence;
+    # src/main/adaptive_sampling.hpp:590-634)
+    conn = ReplayConnection(source, config.minknow.flowcell or "replay").connect()
+    conn.acquisition.has_started()
+    conn.analysis.set_break_reads_after_seconds(
+        config.tpu.break_reads_after_seconds
+    )
+    log.info(conn.summary())
     caller = config.basecaller.caller.lower()
     if caller == "oracle":
         # replay-harness oracle inverting the synthetic pore model —
@@ -246,12 +257,13 @@ def run_test(config: ConfigReader, verbose: bool) -> int:
     src/main/connection_test.hpp:36-155): bring the stream up, probe one
     chunk window, report.  The reference's unblock-all load test exists
     but is hard-disabled (connection_test.hpp:75); same here."""
+    from readbouncer_tpu.stream.control import ReplayConnection
+
     source = make_replay_source(config)
+    conn = ReplayConnection(source, config.minknow.flowcell or "replay").connect()
     chunks = source.tick()
-    print(
-        f"Connection to replay source successful: {len(source.reads)} reads, "
-        f"{source.channels} channels, {len(chunks)} chunks in first window"
-    )
+    print(f"Connection to replay source successful: {conn.summary()}")
+    print(f"{len(chunks)} chunks in first window")
     unblock_all = False  # dormant, as in the reference
     if unblock_all:
         for c in chunks:

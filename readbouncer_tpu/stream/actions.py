@@ -14,12 +14,19 @@ Mirrors readuntil::Data's action consumer (src/minknow/Data.cpp:137-257):
   (src/minknow/Data.cpp:171),
 * every decision is appended to ``read_until_decision_stats.csv`` with
   {read_id, channel, read_nr, sequence length, decision, duration}
-  (src/minknow/Data.cpp:143-146,174-187).
+  (src/minknow/Data.cpp:143-146,174-187),
+* transient delivery failures (exceptions from the action sink) are
+  retried up to 5x with 0.4 s backoff, then raised
+  (src/minknow/Data.cpp:229-243); a ``False`` return is the permanent
+  failed_to_apply case (read already gone) and is only counted,
+* reads whose complete processing time exceeds 100 s are flagged to
+  stderr (the latency outlier alarm, src/minknow/Data.cpp:197-213).
 """
 
 from __future__ import annotations
 
 import csv
+import sys
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -27,6 +34,7 @@ from pathlib import Path
 __all__ = ["Action", "ActionSender"]
 
 UNBLOCK_DURATION_SECONDS = 0.1  # reference: src/minknow/Data.cpp:171
+LATENCY_ALARM_SECONDS = 100.0  # reference: src/minknow/Data.cpp:197-199
 
 
 @dataclass
@@ -50,11 +58,14 @@ class ActionSender:
         batch_size: int = 50,
         pacing_seconds: float = 0.4,
         wall_clock: bool = False,
+        max_retries: int = 5,
     ):
         self.source = source
         self.batch_size = batch_size
         self.pacing_seconds = pacing_seconds
         self.wall_clock = wall_clock
+        self.max_retries = max_retries
+        self.retries = 0
         self._queue: list[Action] = []
         self._last_send = 0.0
         self.succeeded = 0
@@ -90,13 +101,16 @@ class ActionSender:
         batch, self._queue = self._queue[: self.batch_size], self._queue[self.batch_size :]
         applied = 0
         for a in batch:
-            if a.unblock:
-                ok = self.source.unblock(a.channel, a.read_number)
-            else:
-                ok = self.source.stop_receiving(a.channel, a.read_number)
+            ok = self._deliver(a)
             applied += ok
             self.succeeded += ok
             self.failed += not ok
+            if a.processing_seconds > LATENCY_ALARM_SECONDS:
+                print(
+                    f"Classification of Read {a.read_id} took "
+                    f"{a.processing_seconds:.1f} seconds",
+                    file=sys.stderr,
+                )
             self._csv.writerow(
                 [
                     a.read_id,
@@ -109,6 +123,27 @@ class ActionSender:
             )
         self._last_send = time.monotonic()
         return applied
+
+    def _deliver(self, a: Action) -> bool:
+        """Apply one action with transient-failure retries.
+
+        Exceptions from the sink are transient (gRPC write failures in
+        the reference): retried up to max_retries with pacing backoff,
+        then re-raised (src/minknow/Data.cpp:229-243).  False is the
+        permanent failed_to_apply response (read left the pore).
+        """
+        for attempt in range(self.max_retries):
+            try:
+                if a.unblock:
+                    return self.source.unblock(a.channel, a.read_number)
+                return self.source.stop_receiving(a.channel, a.read_number)
+            except Exception:
+                self.retries += 1
+                if attempt == self.max_retries - 1:
+                    raise
+                if self.wall_clock:
+                    time.sleep(self.pacing_seconds)
+        return False  # pragma: no cover - unreachable
 
     def drain(self) -> int:
         total = 0

@@ -15,10 +15,13 @@ Run:  python scripts/profile_realistic.py [--bins 512] [--batch 2048]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 from pathlib import Path
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
@@ -36,26 +39,34 @@ def synth_genome(rng: np.random.Generator, n: int) -> str:
 
 
 def get_filters(n_filters: int, bins_per_filter: int, params: IBFParams):
-    """Build (or load cached) filters with bins_per_filter declared bins."""
+    """Build (or load cached) filters with bins_per_filter declared bins.
+
+    Cache name carries scheme/h when they differ from the round-2 default
+    (rbt1 h=3, whose files predate the suffix)."""
     from readbouncer_tpu.ibf.build import build_ibf
 
     CACHE.mkdir(exist_ok=True)
     genome_len = bins_per_filter * params.fragment_length
+    suffix = ""
+    if params.hash_scheme != "rbt1":
+        suffix += f"_{params.hash_scheme}"
+    if params.hash_functions != 3:
+        suffix += f"_h{params.hash_functions}"
     filters = []
     for i in range(n_filters):
         name = f"g{i}_b{bins_per_filter}_f{params.fragment_length}_k{params.kmer_size}"
-        p = CACHE / f"{name}.ribf"
+        p = CACHE / f"{name}{suffix}.ribf"
         gpath = CACHE / f"{name}.fasta"
         if p.exists():
             filters.append(IBFData.load(p))
             continue
-        rng = np.random.default_rng(1000 + i)
-        g = synth_genome(rng, genome_len)
-        gpath.write_text(f">{name}\n{g}\n")
+        if not gpath.exists():
+            rng = np.random.default_rng(1000 + i)
+            gpath.write_text(f">{name}\n{synth_genome(rng, genome_len)}\n")
         t0 = time.monotonic()
         ibf, stats = build_ibf([gpath], params, name=name)
-        print(f"built {name}: bins={ibf.num_bins} words={ibf.words} "
-              f"rows={ibf.rows} ({stats.build_seconds:.1f}s)")
+        print(f"built {name}{suffix}: bins={ibf.num_bins} words={ibf.words} "
+              f"rows={ibf.rows} ({stats.build_seconds:.1f}s)", flush=True)
         ibf.save(p)
         filters.append(ibf)
     return filters
@@ -93,9 +104,16 @@ def main():
     ap.add_argument("--filters", type=int, default=4)
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--chunk", type=int, default=250)
+    ap.add_argument("--h", type=int, default=3, help="hash functions (sizing follows)")
+    ap.add_argument("--scheme", default="rbt1")
     args = ap.parse_args()
 
-    params = IBFParams(kmer_size=13, fragment_length=100_000)
+    params = IBFParams(
+        kmer_size=13,
+        fragment_length=100_000,
+        hash_functions=args.h,
+        hash_scheme=args.scheme,
+    )
     filters = get_filters(args.filters, args.bins, params)
 
     from readbouncer_tpu.classify.engine import encode_batch
@@ -130,9 +148,12 @@ def main():
     dlens = jax.device_put(lens)
 
     # full counts (pallas production path)
-    f_counts = jax.jit(lambda b, r, l: _counts_impl(b, r, l, k=k, h=h, rows=rows))
+    scheme = stack.scheme
+    f_counts = jax.jit(
+        lambda b, r, l: _counts_impl(b, r, l, k=k, h=h, rows=rows, scheme=scheme)
+    )
     tmin, tmed = timeit(f_counts, stack.bits, dreads, dlens)
-    print(f"counts full (pallas path): min={tmin*1e3:.1f} med={tmed*1e3:.1f} ms")
+    print(f"counts full (pallas path): min={tmin*1e3:.1f} med={tmed*1e3:.1f} ms", flush=True)
 
     # gather+AND only
     def gather_and(bits, reads):
@@ -148,7 +169,7 @@ def main():
     tmin, tmed = timeit(f_ga, stack.bits, dreads)
     n = cl - k + 1
     out_mb = R * 2 * n * stack.words * 4 / 1e6
-    print(f"gather+AND only ({out_mb:.0f}MB out): min={tmin*1e3:.1f} med={tmed*1e3:.1f} ms")
+    print(f"gather+AND only ({out_mb:.0f}MB out): min={tmin*1e3:.1f} med={tmed*1e3:.1f} ms", flush=True)
 
     # accumulate only (pallas) on a precomputed anded tensor
     from readbouncer_tpu.ops.ibf_count_pallas import accumulate_counts_pallas

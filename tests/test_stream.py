@@ -96,3 +96,61 @@ def test_action_batch_adaptation():
     sender.flush()
     assert sender.batch_size == 35  # 10 + 25
     sender.close()
+
+
+def test_action_sender_retries_transient_failures(tmp_path):
+    """Fault injection: exceptions from the sink are retried 5x then
+    raised; False (read gone) is permanent (reference Data.cpp:229-243)."""
+    from readbouncer_tpu.stream.actions import Action, ActionSender
+
+    class FlakySource:
+        def __init__(self, fail_times):
+            self.fail_times = fail_times
+            self.calls = 0
+            self.applied = []
+
+        def unblock(self, ch, nr):
+            self.calls += 1
+            if self.calls <= self.fail_times:
+                raise ConnectionError("transient")
+            self.applied.append((ch, nr))
+            return True
+
+        def stop_receiving(self, ch, nr):
+            return False
+
+    src = FlakySource(fail_times=2)
+    sender = ActionSender(src, tmp_path)
+    sender.queue(Action(channel=1, read_number=7, read_id="r", unblock=True))
+    assert sender.flush() == 1
+    assert sender.retries == 2 and src.applied == [(1, 7)]
+
+    src2 = FlakySource(fail_times=99)
+    sender2 = ActionSender(src2, tmp_path / "b")
+    sender2.queue(Action(channel=1, read_number=7, read_id="r", unblock=True))
+    import pytest as _pytest
+
+    with _pytest.raises(ConnectionError):
+        sender2.flush()
+    assert sender2.retries == 5
+
+
+def test_action_sender_latency_alarm(tmp_path, capsys):
+    """>100 s processing time prints the outlier alarm to stderr
+    (reference Data.cpp:197-213)."""
+    from readbouncer_tpu.stream.actions import Action, ActionSender
+
+    class Sink:
+        def unblock(self, ch, nr):
+            return True
+
+        def stop_receiving(self, ch, nr):
+            return True
+
+    sender = ActionSender(Sink(), tmp_path)
+    sender.queue(
+        Action(channel=1, read_number=1, read_id="slow", unblock=True,
+               processing_seconds=123.0)
+    )
+    sender.flush()
+    assert "slow" in capsys.readouterr().err
