@@ -32,7 +32,7 @@ from pathlib import Path
 
 import numpy as np
 
-from readbouncer_tpu.classify.fused import make_fused_classify_fn
+from readbouncer_tpu.classify.fused import pack5_np  # noqa: F401 (re-export)
 from readbouncer_tpu.errors import EmptyFilterError
 from readbouncer_tpu.classify.math import ci_and_threshold_batch
 from readbouncer_tpu.classify.policy import classify_decisions
@@ -132,21 +132,31 @@ class ClassifyEngine:
         self.batch_size = batch_size
         self.kmer_size = (self.targets or self.depletes).kmer_size
         # jitted fused programs keyed by (n_chunks, attempt_offset),
-        # built lazily (make_fused_classify_fn)
+        # built lazily (make_fused_classify_packed_fn); the merged
+        # target+deplete stack plan is built once and shared so its bits
+        # matrix lives on device exactly once
+        from readbouncer_tpu.classify.fused import _plan_stacks
+
+        self._plan = _plan_stacks(self.targets, self.depletes)
         self._fused_cache: dict[tuple[int, int], object] = {}
 
     def _fused_fn(self, n_chunks: int, attempt_offset: int):
+        """Packed bulk-input program for n_chunks-wide batches."""
+        from readbouncer_tpu.classify.fused import make_fused_classify_packed_fn
+
         key = (n_chunks, attempt_offset)
         fn = self._fused_cache.get(key)
         if fn is None:
-            fn = make_fused_classify_fn(
+            fn = make_fused_classify_packed_fn(
                 self.targets,
                 self.depletes,
                 self.chunk_length,
                 n_chunks,
                 self.error_rate,
                 self.significance,
+                self.batch_size,
                 attempt_offset=attempt_offset,
+                plan=self._plan,
             )
             self._fused_cache[key] = fn
         return fn
@@ -203,6 +213,10 @@ class ClassifyEngine:
         wins.  Batches within a phase are dispatched asynchronously so
         transfers and compute pipeline.
         """
+        import jax
+
+        from readbouncer_tpu.classify.fused import pack5_np
+
         n = len(seqs)
         cl, C = self.chunk_length, self.max_chunks
         L = cl * C
@@ -211,59 +225,65 @@ class ClassifyEngine:
         best = np.full(n, -1, dtype=np.int64)
         attempts = np.zeros(n, dtype=np.int64)
 
+        # encode everything once on host; each phase ships ONE packed
+        # array (pack5_np) and batch programs slice rows on device —
+        # per-batch H2D pays a ~0.1-0.4 s tunnel round trip, a bulk put
+        # amortizes to streaming bandwidth (scripts/transfer_probe.py)
+        enc, lens = encode_batch(seqs, L)
+        n_pad = -(-n // B) * B
+
         # --- phase A: chunk 0 of every read --------------------------------
         fn_a = self._fused_fn(1, 0)
-        encs, futs_a = [], []
-        for start in range(0, n, B):
-            part = seqs[start : start + B]
-            reads, lens = encode_batch(part, L, batch=B)
-            encs.append((start, len(part), reads, lens))
-            futs_a.append(fn_a(np.ascontiguousarray(reads[:, :cl]), lens))
+        pk_a = pack5_np(enc[:, :cl])
+        if n_pad != n:
+            pk_a = np.concatenate(
+                [pk_a, np.zeros((n_pad - n, pk_a.shape[1]), dtype=np.uint8)]
+            )
+        dev_a = jax.device_put(pk_a)
+        dev_lens = jax.device_put(
+            np.concatenate([lens, np.zeros(n_pad - n, dtype=lens.dtype)])
+        )
+        futs_a = [fn_a(dev_a, dev_lens, start) for start in range(0, n_pad, B)]
+        outs_a = jax.device_get(futs_a)  # one batched D2H round trip
 
-        # collect + gather unresolved multi-chunk reads
-        pend_rows, pend_lens, pend_idx = [], [], []
-        for (start, m, reads, lens), fa in zip(encs, futs_a):
-            ok, b, att = (np.asarray(x) for x in fa)
-            classified[start : start + m] = ok[:m]
-            best[start : start + m] = b[:m]
-            attempts[start : start + m] = att[:m]
-            need_b = ~ok[:m] & (lens[:m] > cl)
-            ii = np.nonzero(need_b)[0]
-            if ii.size:
-                pend_rows.append(reads[ii])
-                pend_lens.append(lens[ii])
-                pend_idx.append(ii + start)
-        if not pend_idx:
+        ok_a = np.concatenate([np.asarray(o[0]) for o in outs_a])[:n]
+        classified[:] = ok_a
+        best[:] = np.concatenate([np.asarray(o[1]) for o in outs_a])[:n]
+        attempts[:] = np.concatenate([np.asarray(o[2]) for o in outs_a])[:n]
+        pidx = np.nonzero(~ok_a & (lens > cl))[0]
+        if pidx.size == 0:
             return classified, best, attempts
 
         # --- phase B: remaining chunks of unresolved reads ------------------
-        rows = np.concatenate(pend_rows)
-        plens = np.concatenate(pend_lens)
-        pidx = np.concatenate(pend_idx)
+        plens = lens[pidx]
         # bucket by chunks still to score (ceil(len/cl) - 1, capped at C-1)
         n_rest = np.minimum(-(-plens // cl), C) - 1  # [U] in 1..C-1
-        futs_b = []
         for c_rest in np.unique(n_rest):
             c_rest = int(c_rest)
             sel = np.nonzero(n_rest == c_rest)[0]
             fn_b = self._fused_fn(c_rest, 1)
-            sub_rows = rows[sel][:, cl : cl * (1 + c_rest)]
-            sub_lens = plens[sel] - cl
-            for s in range(0, len(sel), B):
-                rb = np.ascontiguousarray(sub_rows[s : s + B])
-                lb = sub_lens[s : s + B]
-                m2 = len(lb)
-                if m2 < B:
-                    rb = np.concatenate(
-                        [rb, np.zeros((B - m2, rb.shape[1]), dtype=np.uint8)]
-                    )
-                    lb = np.concatenate([lb, np.zeros(B - m2, dtype=lb.dtype)])
-                futs_b.append((pidx[sel[s : s + m2]], m2, fn_b(rb, lb)))
-        for out_idx, m2, fb in futs_b:
-            ok, b, att = (np.asarray(x) for x in fb)
-            classified[out_idx] = ok[:m2]
-            best[out_idx] = b[:m2]
-            attempts[out_idx] = att[:m2]
+            u = sel.size
+            u_pad = -(-u // B) * B
+            pk_b = pack5_np(
+                np.ascontiguousarray(enc[pidx[sel], cl : cl * (1 + c_rest)])
+            )
+            if u_pad != u:
+                pk_b = np.concatenate(
+                    [pk_b, np.zeros((u_pad - u, pk_b.shape[1]), dtype=np.uint8)]
+                )
+            lb = np.zeros(u_pad, dtype=lens.dtype)
+            lb[:u] = plens[sel] - cl
+            dev_b = jax.device_put(pk_b)
+            dev_lb = jax.device_put(lb)
+            futs_b = [fn_b(dev_b, dev_lb, s) for s in range(0, u_pad, B)]
+            outs_b = jax.device_get(futs_b)
+            ok = np.concatenate([np.asarray(o[0]) for o in outs_b])[:u]
+            bb = np.concatenate([np.asarray(o[1]) for o in outs_b])[:u]
+            att = np.concatenate([np.asarray(o[2]) for o in outs_b])[:u]
+            out_idx = pidx[sel]
+            classified[out_idx] = ok
+            best[out_idx] = bb
+            attempts[out_idx] = att
         return classified, best, attempts
 
     def classify_sequences_waves(self, seqs: list[str]):

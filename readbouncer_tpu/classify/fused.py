@@ -43,8 +43,35 @@ __all__ = [
     "jax_classify_decisions",
     "jax_live_decisions",
     "make_fused_classify_fn",
+    "make_fused_classify_packed_fn",
     "make_fused_live_fn",
+    "pack5_np",
+    "unpack5_jnp",
 ]
+
+
+def pack5_np(enc: np.ndarray) -> np.ndarray:
+    """Pack base codes (u8 in 0..4) 3-per-byte: byte = c0 + 5*c1 + 25*c2.
+
+    DNA over the Dna5 alphabet is 5 symbols = log2(5) = 2.32 bits/base;
+    base-243 packing hits 2.67 bits/base with a trivial VPU decode.  The
+    tunnel to the chip runs at single-digit MB/s on bad days
+    (scripts/transfer_probe.py; docs/PERF_NOTES.md), so the engine ships
+    packed reads and unpacks on device.
+    """
+    R, L = enc.shape
+    P = -(-L // 3)
+    if L % 3:
+        enc = np.pad(enc, ((0, 0), (0, 3 * P - L)))
+    e = enc.reshape(R, P, 3).astype(np.uint16)
+    return (e[:, :, 0] + 5 * e[:, :, 1] + 25 * e[:, :, 2]).astype(np.uint8)
+
+
+def unpack5_jnp(packed: jnp.ndarray, length: int) -> jnp.ndarray:
+    """Device inverse of pack5_np: [R, P] u8 -> [R, length] u8 codes."""
+    x = packed.astype(jnp.uint32)
+    parts = jnp.stack([x % 5, (x // 5) % 5, x // 25], axis=-1)
+    return parts.reshape(packed.shape[0], -1)[:, :length].astype(jnp.uint8)
 
 
 def threshold_table(
@@ -183,6 +210,7 @@ def make_fused_classify_fn(
     error_rate: float,
     significance: float,
     attempt_offset: int = 0,
+    plan=None,
 ):
     """Build the jitted whole-read classifier.
 
@@ -194,8 +222,30 @@ def make_fused_classify_fn(
     in engine.py scores chunk 0 for everything, then only the remaining
     chunks of still-unresolved reads).
     """
+    plan = plan if plan is not None else _plan_stacks(targets, depletes)
+    fn = _fused_core(
+        targets, depletes, chunk_length, max_chunks, error_rate, significance,
+        attempt_offset, plan,
+    )
+    jfn = jax.jit(fn)
+    bits_args = _bits_args(targets, depletes, plan)
+    return lambda reads, lengths: jfn(bits_args, reads, lengths)
+
+
+def _bits_args(targets, depletes, plan):
+    combined, _ = plan
+    if combined is not None:
+        return (combined.bits,)
+    return tuple(s.bits for s in (targets, depletes) if s is not None)
+
+
+def _fused_core(
+    targets, depletes, chunk_length, max_chunks, error_rate, significance,
+    attempt_offset, plan,
+):
+    """The whole-read classifier body: fn(bits_args, reads, lengths)."""
     cl, C = chunk_length, max_chunks
-    combined, n_targets = _plan_stacks(targets, depletes)
+    combined, n_targets = plan
     tabs = {}
     for name, stack in (("t", targets), ("d", depletes)):
         if stack is None:
@@ -247,14 +297,52 @@ def make_fused_classify_fn(
         )
         return classified, jnp.where(classified, best_read, -1), attempts
 
+    return fn
+
+
+def make_fused_classify_packed_fn(
+    targets: FilterStack | None,
+    depletes: FilterStack | None,
+    chunk_length: int,
+    max_chunks: int,
+    error_rate: float,
+    significance: float,
+    batch_size: int,
+    attempt_offset: int = 0,
+    plan=None,
+):
+    """Bulk-upload variant of make_fused_classify_fn.
+
+    The engine uploads ONE packed array for a whole phase (pack5_np) and
+    every batch program slices its rows on device — per-batch H2D costs
+    ~110-420 ms on the tunnel (scripts/transfer_probe.py), one bulk put
+    amortizes to ~12 MB/s.
+
+    Returned fn: (all_packed [N_pad, ceil(C*cl/3)] u8 device array,
+                  all_lengths [N_pad] i32 device array,
+                  start: int (row offset, traced))
+    -> (classified [B] bool, best_target [B] i32, attempts [B] i32).
+    """
+    cl, C, B = chunk_length, max_chunks, batch_size
+    L = C * cl
+    plan = plan if plan is not None else _plan_stacks(targets, depletes)
+    base_fn = _fused_core(
+        targets, depletes, cl, C, error_rate, significance, attempt_offset, plan
+    )
+
+    def fn(bits_args, all_packed, all_lens, start):
+        seg = jax.lax.dynamic_slice_in_dim(all_packed, start, B, axis=0)
+        lens = jax.lax.dynamic_slice_in_dim(all_lens, start, B, axis=0)
+        reads = unpack5_jnp(seg, L)
+        return base_fn(bits_args, reads, lens)
+
     jfn = jax.jit(fn)
-    if combined is not None:
-        bits_args = (combined.bits,)
-    else:
-        bits_args = tuple(
-            s.bits for s in (targets, depletes) if s is not None
-        )
-    return lambda reads, lengths: jfn(bits_args, reads, lengths)
+    bits_args = _bits_args(targets, depletes, plan)
+    # start is passed as a traced scalar so every batch offset shares ONE
+    # compiled program (a Python int would re-trace per offset)
+    return lambda all_packed, all_lens, start: jfn(
+        bits_args, all_packed, all_lens, jnp.int32(start)
+    )
 
 
 def make_fused_live_fn(

@@ -385,8 +385,6 @@ def _counts_pallas(
       select would make the gather a producer of h consumers and risk
       fusion duplication — h gathers again).
     """
-    from readbouncer_tpu.ops.ibf_count_pallas import accumulate_counts_pallas
-
     if interpret is None:  # Mosaic kernels only compile for TPU backends
         interpret = jax.default_backend() == "cpu"
     R, L = reads.shape
@@ -423,22 +421,21 @@ def _counts_pallas(
     valid = jnp.arange(n, dtype=jnp.int32)[None, :] < n_valid[:, None]  # [R, n]
     anded = jnp.where(valid[:, None, :, None], anded, jnp.uint32(0))
 
-    # pad windows + word count to the kernel blocks and fold strand into
-    # the lane axis (word padding keeps VMEM tiles bounded at any W —
-    # the kernel grids over word blocks)
-    from readbouncer_tpu.ops.ibf_count_pallas import WORD_BLOCK
+    # pad windows to a power-of-two block; the planes kernel consumes the
+    # gather's natural [read-strand, window, word] layout (no transpose)
+    from readbouncer_tpu.ops.ibf_count_pallas import (
+        accumulate_planes_pallas,
+        expand_planes,
+    )
 
     n_pad = -(-n // 128) * 128 if n > 128 else (1 << max(n - 1, 1).bit_length())
-    W_pad = -(-W // WORD_BLOCK) * WORD_BLOCK
     R2 = 2 * R
-    r2b = min(512, 1 << max(R2 - 1, 1).bit_length())
-    R2_pad = -(-R2 // r2b) * r2b
-    anded = jnp.pad(anded, ((0, 0), (0, 0), (0, n_pad - n), (0, W_pad - W)))
-    a_t = jnp.transpose(anded.reshape(R2, n_pad, W_pad), (2, 1, 0))  # [W_pad, n_pad, R2]
-    if R2_pad != R2:
-        a_t = jnp.pad(a_t, ((0, 0), (0, 0), (0, R2_pad - R2)))
-    counts_t = accumulate_counts_pallas(a_t, interpret=interpret)  # [W_pad, 32, R2_pad]
-    counts = jnp.transpose(counts_t[:W, :, :R2], (2, 0, 1))  # [R2, W, 32]
+    a = anded.reshape(R2, n, W)
+    if n_pad != n:
+        a = jnp.pad(a, ((0, 0), (0, n_pad - n), (0, 0)))
+    n_planes = max(int(n).bit_length(), 1)
+    planes = accumulate_planes_pallas(a, n_planes, interpret=interpret)
+    counts = expand_planes(planes)  # [R2, W*32] i32
     return counts.reshape(R, 2, W * 32)
 
 

@@ -46,7 +46,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["accumulate_counts_pallas", "WORD_BLOCK"]
+__all__ = ["accumulate_counts_pallas", "accumulate_planes_pallas", "WORD_BLOCK"]
 
 WORD_BLOCK = 8  # W words per VMEM tile (out tile [8, 32, r2b])
 _WCB = 128  # windows per VMEM tile
@@ -69,6 +69,118 @@ def _count_kernel(a_ref, o_ref):
     for p in range(32):
         col = ((a >> jnp.uint32(p)) & one).astype(jnp.int32)  # [wb, wcb, r2b]
         o_ref[:, p, :] += jnp.sum(col, axis=1)
+
+
+def _add_plane_lists(a: list, b: list) -> list:
+    """Bitwise full-adder of two plane-number lists (little-endian).
+
+    Same algebra as ibf.query._add_planes: element j of the result is bit
+    j of the per-lane sum of the two inputs; each u32 lane carries 32
+    independent per-bin counters in parallel.
+    """
+    out = []
+    carry = None
+    for j in range(max(len(a), len(b))):
+        aj = a[j] if j < len(a) else None
+        bj = b[j] if j < len(b) else None
+        terms = [t for t in (aj, bj, carry) if t is not None]
+        if len(terms) == 3:
+            x, y, z = terms
+            out.append(x ^ y ^ z)
+            carry = (x & y) | (z & (x ^ y))
+        elif len(terms) == 2:
+            x, y = terms
+            out.append(x ^ y)
+            carry = x & y
+        else:
+            out.append(terms[0])
+            carry = None
+    if carry is not None:
+        out.append(carry)
+    return out
+
+
+def _planes_kernel(n_planes: int, a_ref, o_ref):
+    """Carry-save adder tree over the window axis, planes accumulated.
+
+    a_ref: [r2b, wcb, wlanes] u32 membership-word tile (windows on the
+           sublane axis, filter words on lanes)
+    o_ref: [r2b, n_planes, wlanes] u32 bit-plane counters, revisited
+           across the window grid dimension.  Plane j holds bit j of the
+           per-(read-strand, word-lane) counter, 32 bins per u32 lane.
+
+    The per-window "+= membership" fold is a binary carry-save tree
+    (log2(wcb) halvings, each a 3-op full adder on shrinking arrays)
+    followed by ONE ripple merge into o_ref — ~8x fewer VPU ops than
+    expanding every window's words to 32 integer lanes (the v1 kernel
+    below, measured 19 ms vs ~2 ms for the 2048x250 realistic batch).
+    """
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    a = a_ref[...]
+    tree = [a]
+    m = a.shape[1]
+    while m > 1:
+        half = m // 2
+        tree = _add_plane_lists(
+            [p[:, :half] for p in tree], [p[:, half:] for p in tree]
+        )
+        m = half
+    step = [p[:, 0, :] for p in tree]  # [r2b, wlanes] planes of this block's sum
+    acc = [o_ref[:, j, :] for j in range(n_planes)]
+    merged = _add_plane_lists(acc, step)
+    for j in range(n_planes):
+        o_ref[:, j, :] = merged[j]
+
+
+def accumulate_planes_pallas(
+    a: jnp.ndarray, n_planes: int, *, interpret: bool = False
+) -> jnp.ndarray:
+    """a [R2, n_pad, W] u32 -> packed per-bin counters [R2, n_planes, W] u32.
+
+    Consumes the gather's natural [read-strand, window, word] layout (no
+    transpose) and keeps the counters bit-packed: bit p of lane (r, j, w)
+    is bit j of the match count of bin ``w*32 + p`` for read-strand r.
+    Callers expand planes to integer counts once (see ibf.query).
+
+    n_planes must satisfy 2**n_planes > max window count or counters
+    wrap (callers size it from n).  n_pad must be a power-of-two
+    multiple of the window block; padded windows must be zero.
+    """
+    R2, n_pad, W = a.shape
+    r2b = 32 if R2 % 32 == 0 else (8 if R2 % 8 == 0 else R2)
+    wcb = min(_WCB, n_pad)
+    if R2 % r2b or n_pad % wcb or (wcb & (wcb - 1)):
+        raise ValueError(f"bad padding: {a.shape} vs blocks ({r2b}, {wcb})")
+    grid = (R2 // r2b, n_pad // wcb)
+    kernel = functools.partial(_planes_kernel, n_planes)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((r2b, wcb, W), lambda r, c: (r, c, 0)),
+        ],
+        out_specs=pl.BlockSpec((r2b, n_planes, W), lambda r, c: (r, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((R2, n_planes, W), jnp.uint32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(a)
+
+
+def expand_planes(planes: jnp.ndarray) -> jnp.ndarray:
+    """[R2, n_planes, W] packed planes -> [R2, W*32] i32 counts."""
+    R2, n_planes, W = planes.shape
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    counts = jnp.zeros((R2, W, 32), dtype=jnp.int32)
+    for j in range(n_planes):
+        bit = (planes[:, j, :, None] >> shifts) & jnp.uint32(1)
+        counts = counts + (bit.astype(jnp.int32) << j)
+    return counts.reshape(R2, W * 32)
 
 
 def accumulate_counts_pallas(a_t: jnp.ndarray, *, interpret: bool = False):

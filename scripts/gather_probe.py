@@ -138,12 +138,88 @@ def main():
 
             dt = timeit(jax.jit(wide_and), tabw, tidx, g)
             print(f"wide gather+mask+AND M={M}: {dt*1e3:.2f} ms")
+    elif args.exp in ("gwide1152", "gwide2304"):
+        # rbt3 candidate: 16-row (or 32-row) blocks stored as ONE wide row;
+        # a 2048x250 batch at stride-4 superwindows needs ~245k gathers
+        lanes = 1152 if args.exp.endswith("1152") else 2304
+        n_blocks = int(ROWS * 2.05) // 16  # h=2 s=4 sizing ~2.05x rbt1 rows
+        tabw = jax.random.bits(key, (n_blocks, lanes), jnp.uint32)
+        m = 245_000 if args.m == 2048 * 2 * 238 else args.m
+        tidx = jax.random.randint(key, (m,), 0, n_blocks, jnp.int32)
+        dt = timeit(jax.jit(lambda t, i: jnp.take(t, i, axis=0)), tabw, tidx)
+        print(f"wide gather [blocks,{lanes}] M={m}: {dt*1e3:.2f} ms  "
+              f"{m/dt/1e6:.2f} Mblk/s", flush=True)
+    elif args.exp == "gsuper":
+        # full rbt3 s=4 h=2 query compute: wide gather + per-window
+        # 2-offset select + AND over 16 block rows -> anded [m, 4, 72]
+        n_blocks = int(ROWS * 2.05) // 16
+        tabw = jax.random.bits(key, (n_blocks, 1152), jnp.uint32)
+        m = 245_000 if args.m == 2048 * 2 * 238 else args.m
+        tidx = jax.random.randint(key, (m,), 0, n_blocks, jnp.int32)
+        offs = jax.random.randint(key, (m, 4, 2), 0, 16, jnp.int32)
+
+        def super_and(t, i, offs):
+            g = jnp.take(t, i, axis=0).reshape(m, 16, 72)
+            outs = []
+            s_idx = jnp.arange(16, dtype=jnp.int32)
+            for w in range(4):
+                sel = (offs[:, w, 0:1] == s_idx) | (offs[:, w, 1:2] == s_idx)
+                masked = jnp.where(sel[:, :, None], g, jnp.uint32(0xFFFFFFFF))
+                out = masked[:, 0, :]
+                for s in range(1, 16):
+                    out = out & masked[:, s, :]
+                outs.append(out)
+            return jnp.stack(outs, axis=1)  # [m, 4, 72]
+
+        dt = timeit(jax.jit(super_and), tabw, tidx, offs)
+        print(f"rbt3 gather+select+AND M={m}: {dt*1e3:.2f} ms  "
+              f"({4*m/dt/1e6:.1f} Mwindows/s)", flush=True)
     elif args.exp == "g144":
         # 2-row granularity: [rows/2, 144] — per-index cost vs payload probe
         tab = jax.random.bits(key, (ROWS // 2, 144), jnp.uint32)
         idx2 = jax.random.randint(key, (M,), 0, ROWS // 2, jnp.int32)
         dt = timeit(jax.jit(lambda t, i: jnp.take(t, i, axis=0)), tab, idx2)
         print(f"gather [rows/2,144] M={M}: {dt*1e3:.2f} ms  {M/dt/1e6:.1f} Mrows/s")
+    elif args.exp in ("g72h1p2", "g128h1p2"):
+        # h=1 realistic sizing (99.5 bits/key -> ~8x rows) split into TWO
+        # concurrent gathers (the fwd/rc strands are independent): does
+        # gather concurrency recover the big-table per-index degradation?
+        W = 72 if "72" in args.exp else 128
+        big_rows = ROWS * 8
+        tab = jax.random.bits(key, (big_rows, W), jnp.uint32)
+        parts = [
+            jax.random.randint(jax.random.fold_in(key, j), (M // 2,), 0, big_rows, jnp.int32)
+            for j in range(2)
+        ]
+        dt = timeit(jax.jit(lambda t, a, b: [jnp.take(t, a, axis=0), jnp.take(t, b, axis=0)]), tab, *parts)
+        print(f"2-way h1 gather [8x rows,{W}] M={M}: {dt*1e3:.2f} ms  {M/dt/1e6:.1f} Mrows/s")
+    elif args.exp == "g72h1p4":
+        big_rows = ROWS * 8
+        tab = jax.random.bits(key, (big_rows, 72), jnp.uint32)
+        parts = [
+            jax.random.randint(jax.random.fold_in(key, j), (M // 4,), 0, big_rows, jnp.int32)
+            for j in range(4)
+        ]
+        dt = timeit(jax.jit(lambda t, *ix: [jnp.take(t, i, axis=0) for i in ix]), tab, *parts)
+        print(f"4-way h1 gather [8x rows,72] M={M}: {dt*1e3:.2f} ms  {M/dt/1e6:.1f} Mrows/s")
+    elif args.exp == "g2and":
+        # h=2 sizing (18.98 bits/key -> 1.536x rows), 2 gathers + AND
+        rows2 = int(ROWS * 1.536)
+        tab = jax.random.bits(key, (rows2, 72), jnp.uint32)
+        idx2 = jax.random.randint(key, (2, M), 0, rows2, jnp.int32)
+        dt = timeit(
+            jax.jit(lambda t, i: jnp.take(t, i[0], axis=0) & jnp.take(t, i[1], axis=0)),
+            tab, idx2,
+        )
+        print(f"2x gather+AND [1.5x rows,72] M={M}: {dt*1e3:.2f} ms  {2*M/dt/1e6:.1f} Mrows/s")
+    elif args.exp in ("gsort", "gsorth1"):
+        # same gather with SORTED indices: is the cost per-index issue
+        # overhead (sorted == unsorted) or memory locality (sorted wins)?
+        rows = ROWS if args.exp == "gsort" else ROWS * 8
+        tab = jax.random.bits(key, (rows, 72), jnp.uint32)
+        idxs = jnp.sort(jax.random.randint(key, (M,), 0, rows, jnp.int32))
+        dt = timeit(jax.jit(lambda t, i: jnp.take(t, i, axis=0)), tab, idxs)
+        print(f"sorted gather [{rows},72] M={M}: {dt*1e3:.2f} ms  {M/dt/1e6:.1f} Mrows/s")
     elif args.exp == "g3":
         tab = jax.random.bits(key, (ROWS, 72), jnp.uint32)
         idx3 = jax.random.randint(key, (3, M), 0, ROWS, jnp.int32)
