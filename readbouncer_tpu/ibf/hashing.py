@@ -77,9 +77,25 @@ __all__ = [
     "POW5",
 ]
 
-HASH_SCHEME = "rbt2"  # default for new builds; rbt1 stays load/query-able
+HASH_SCHEME = "rbt1"  # default for new builds; rbt2 stays load/query-able
 SUPPORTED_SCHEMES = ("rbt1", "rbt2")
 BLOCK_ROWS = 8  # rbt2: rows per gather block (= one TPU sublane tile)
+
+# "rbt3" (grouped wide blocks) — EVALUATED AND REJECTED, kept here as a
+# design record.  Idea: group 4 consecutive windows to share ONE wide
+# gather of a 16-row block ([rows/16, 16*W]; a 1152-lane gather costs
+# only ~2.8x a 72-lane one — scripts/gather_probe.py gwide1152), keyed
+# by the group's shared inner (k-3)-mer so error-free-k-mer => correct
+# key and per-window match semantics stay exact.  Build then has to
+# insert every genome k-mer under all 4 of its contained (k-3)-mer keys
+# (the query alignment is read-frame dependent).  The occupancy math
+# kills it: all 4*h bits of a group key land in ONE block, so any block
+# the query shares a genome key with is ~8 bits dense, and holding
+# max_fp=0.01 forces ~258 bits/k-mer at h=2 (ibf.params.blocked_rows_
+# for_fp(n, 2, 0.01, block=16, kmers_per_key=4)) = ~21x the rbt1 table
+# (7.4 GB at the realistic 4x512-bin geometry) — unshippable for a ~2x
+# gather win.  Conclusion: at fp=0.01 the interleaved-row rbt1 layout
+# plus fused multi-gather is the right point on this hardware.
 
 # xxhash 32-bit primes + two more odd constants; index = hash function id.
 SEEDS = np.array(

@@ -49,18 +49,27 @@ def bin_size_bits(
     return int(math.ceil(-1.0 / (inner - 1.0)))
 
 
-def blocked_fp(rows: int, n_keys: int, hash_functions: int, block: int = 8) -> float:
-    """Exact false-positive rate of one rbt2 bin column.
+def blocked_fp(
+    rows: int,
+    n_keys: int,
+    hash_functions: int,
+    block: int = 8,
+    kmers_per_key: int = 1,
+) -> float:
+    """Exact false-positive rate of one rbt2/rbt3 bin column.
 
     Model: the column has ``rows`` bits in ``rows/block`` blocks; each of
-    ``n_keys`` inserted k-mers picks a uniform block and sets
-    ``hash_functions`` DISTINCT bits of it; a uniform query is a false
-    positive iff its own h-subset of its block is fully set.  Occupancy
-    of a block follows a Markov chain over the number of set bits u:
-    inserting one key moves u -> u + t with hypergeometric
+    ``n_keys`` inserted keys picks a uniform block and sets
+    ``kmers_per_key`` groups of ``hash_functions`` DISTINCT bits of it
+    (rbt2: one k-mer per block key; rbt3: each (k-3)-mer key carries its
+    4 containing k-mers).  A uniform query is a false positive iff its
+    own h-subset of its block is fully set.  Occupancy of a block follows
+    a Markov chain over the number of set bits u: inserting one k-mer
+    moves u -> u + t with hypergeometric
     P(t | u) = C(block-u, t) * C(u, h-t) / C(block, h); keys per block are
-    Poisson(lambda = n_keys * block / rows).  Conditioned on j keys with
-    occupancy u, P(false positive) = C(u, h) / C(block, h).
+    Poisson(lambda = n_keys * block / rows).  Conditioned on j keys (=
+    j * kmers_per_key k-mer insertions) with occupancy u,
+    P(false positive) = C(u, h) / C(block, h).
     """
     h = hash_functions
     lam = n_keys * block / rows
@@ -68,12 +77,13 @@ def blocked_fp(rows: int, n_keys: int, hash_functions: int, block: int = 8) -> f
         # >=64 expected keys per 8-bit block: saturated, exp(-lam) would
         # underflow the Poisson mixture to a bogus 0
         return 1.0
-    # occupancy distribution after j insertions, j up to a Poisson tail cut
-    j_max = max(8, int(lam + 12.0 * math.sqrt(lam) + 12))
+    # occupancy distribution after j key insertions (kmers_per_key k-mer
+    # events each), j up to a Poisson tail cut
+    j_max = max(8, int(lam + 12.0 * math.sqrt(lam) + 12)) * kmers_per_key
     occ = [0.0] * (block + 1)
     occ[0] = 1.0
     denom = math.comb(block, h)
-    fp_given_j = []  # E[C(u,h)]/C(block,h) after j keys
+    fp_given_j = []  # E[C(u,h)]/C(block,h) after j k-mer events
     fp_given_j.append(sum(p * math.comb(u, h) for u, p in enumerate(occ)) / denom)
     for _ in range(j_max):
         nxt = [0.0] * (block + 1)
@@ -87,32 +97,42 @@ def blocked_fp(rows: int, n_keys: int, hash_functions: int, block: int = 8) -> f
                 nxt[u + t] += p * q
         occ = nxt
         fp_given_j.append(sum(p * math.comb(u, h) for u, p in enumerate(occ)) / denom)
-    # Poisson mixture over j
+    # Poisson mixture over j keys; key j contributes at event index
+    # j * kmers_per_key
     pj = math.exp(-lam)
     fp = pj * fp_given_j[0]
-    for j in range(1, j_max + 1):
+    j = 1
+    while j * kmers_per_key <= j_max:
         pj *= lam / j
-        fp += pj * fp_given_j[j]
+        fp += pj * fp_given_j[j * kmers_per_key]
+        j += 1
     return fp
 
 
 def blocked_rows_for_fp(
-    n_keys: int, hash_functions: int, max_fp: float, block: int = 8
+    n_keys: int,
+    hash_functions: int,
+    max_fp: float,
+    block: int = 8,
+    kmers_per_key: int = 1,
 ) -> int:
     """Smallest rows (multiple of ``block``) with blocked_fp <= max_fp.
 
-    The rbt2 analog of bin_size_bits: blocked filters trade ~1.4x bits
-    for one-tile-per-window gathers (ibf.hashing module doc).
+    The rbt2/rbt3 analog of bin_size_bits: blocked filters trade extra
+    bits for one-gather-per-window (rbt2) or one-gather-per-4-windows
+    (rbt3) queries (ibf.hashing module doc).
     """
     # blocked fp >= unblocked fp at equal size, so the reference formula
-    # (rows for an ideal h-hash Bloom) seeds the lower bound
+    # (rows for an ideal h-hash Bloom over all inserted k-mer events)
+    # seeds the lower bound
+    events = n_keys * kmers_per_key
     ideal = -1.0 / (
-        math.pow(1.0 - math.pow(max_fp, 1.0 / hash_functions), 1.0 / (hash_functions * n_keys))
+        math.pow(1.0 - math.pow(max_fp, 1.0 / hash_functions), 1.0 / (hash_functions * events))
         - 1.0
     )
     lo = max(block, int(ideal) // block * block)
     hi = lo
-    while blocked_fp(hi, n_keys, hash_functions, block) > max_fp:
+    while blocked_fp(hi, n_keys, hash_functions, block, kmers_per_key) > max_fp:
         lo = hi
         hi *= 2
         if hi > (1 << 34):
@@ -121,7 +141,7 @@ def blocked_rows_for_fp(
         mid = (lo + hi) // 2 // block * block
         if mid <= lo:
             break
-        if blocked_fp(mid, n_keys, hash_functions, block) > max_fp:
+        if blocked_fp(mid, n_keys, hash_functions, block, kmers_per_key) > max_fp:
             lo = mid
         else:
             hi = mid
@@ -160,10 +180,13 @@ class IBFParams:
     hash_functions: int = 3
     max_fp: float = 0.01
     overlap_length: int = 1500  # only applied to fragment 0 in the reference
-    # "rbt2" (blocked rows, one-tile-per-window TPU gather) for new builds;
-    # "rbt1" keeps the reference-shaped independent-row scheme and its
-    # sizing formula golden (79_121_216 bits).  See ibf.hashing module doc.
-    hash_scheme: str = "rbt2"
+    # "rbt1" (independent hash rows, reference-shaped sizing; the
+    # 79_121_216-bit golden) is the production scheme: measured on v5e,
+    # the XLA gather engine gives blocked/wide layouts no per-index
+    # discount, so rbt2 (and the evaluated-and-rejected rbt3) spend bits
+    # without beating rbt1's fused h-gather.  See ibf.hashing module doc
+    # and docs/PERF_NOTES.md.
+    hash_scheme: str = "rbt1"
 
     # number of sequence records read per host batch (streaming)
     n_refs: int = 400

@@ -220,6 +220,47 @@ def main():
         idxs = jnp.sort(jax.random.randint(key, (M,), 0, rows, jnp.int32))
         dt = timeit(jax.jit(lambda t, i: jnp.take(t, i, axis=0)), tab, idxs)
         print(f"sorted gather [{rows},72] M={M}: {dt*1e3:.2f} ms  {M/dt/1e6:.1f} Mrows/s")
+    elif args.exp in ("gprod", "gprod_nobar", "gprod_idx"):
+        # isolate the production counts-path overhead: today the in-situ
+        # gather+AND measures ~61 ms while g3 (indices as inputs) is
+        # ~36 ms.  Variants: full production subgraph (codes->hash->
+        # barrier->gathers->AND->mask), same without the barrier, and
+        # indices precomputed as program inputs.
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+        from readbouncer_tpu.ibf.query import (
+            _hash_rows_all_jnp, kmer_codes_jnp,
+        )
+
+        R, cl, k, h = 2048, 250, 13, 3
+        tab = jax.random.bits(key, (ROWS, 72), jnp.uint32)
+        reads = jax.random.randint(key, (R, cl), 0, 4, jnp.int32).astype(jnp.uint8)
+        lens = jnp.full((R,), cl, jnp.int32)
+        n = cl - k + 1
+
+        if args.exp == "gprod_idx":
+            codes = kmer_codes_jnp(reads, k)
+            ridxs = [np.asarray(r) for r in _hash_rows_all_jnp(codes, h, ROWS, "rbt1")]
+            def f(t, i0, i1, i2, l):
+                anded = jnp.take(t, i0, axis=0) & jnp.take(t, i1, axis=0) & jnp.take(t, i2, axis=0)
+                valid = jnp.arange(n, dtype=jnp.int32)[None, :] < (l - (k - 1))[:, None]
+                return jnp.where(valid[:, None, :, None], anded, jnp.uint32(0))
+            dt = timeit(jax.jit(f), tab, *ridxs, lens)
+        else:
+            barrier = args.exp == "gprod"
+            def f(t, r, l):
+                codes = kmer_codes_jnp(r, k)
+                ridxs = _hash_rows_all_jnp(codes, h, ROWS, "rbt1")
+                if barrier:
+                    ridxs = jax.lax.optimization_barrier(ridxs)
+                anded = None
+                for ridx in ridxs:
+                    g = jnp.take(t, ridx, axis=0)
+                    anded = g if anded is None else (anded & g)
+                valid = jnp.arange(n, dtype=jnp.int32)[None, :] < (l - (k - 1))[:, None]
+                return jnp.where(valid[:, None, :, None], anded, jnp.uint32(0))
+            dt = timeit(jax.jit(f), tab, reads, lens)
+        m3 = R * 2 * n * 3
+        print(f"{args.exp} [2048x250 h=3]: {dt*1e3:.2f} ms  {m3/dt/1e6:.1f} Mrows/s")
     elif args.exp == "g3":
         tab = jax.random.bits(key, (ROWS, 72), jnp.uint32)
         idx3 = jax.random.randint(key, (3, M), 0, ROWS, jnp.int32)

@@ -54,9 +54,11 @@ def test_blocked_sizing():
     assert blocked_fp(rows, n, 3) <= 0.01
     assert blocked_fp(rows - 8, n, 3) > 0.01  # minimality
     assert rows > bin_size_bits(100_000, 13, 3, 0.01)  # blocking costs bits
-    # default params use the blocked sizing
-    p2 = IBFParams(kmer_size=13, fragment_length=100_000)
+    # rbt2 must be explicitly requested; the production default is rbt1
+    # (the gather engine gives blocked layouts no discount on v5e)
+    p2 = IBFParams(kmer_size=13, fragment_length=100_000, hash_scheme="rbt2")
     assert p2.hash_scheme == "rbt2" and p2.rows == rows
+    assert IBFParams(kmer_size=13, fragment_length=100_000).hash_scheme == "rbt1"
 
 
 def test_blocked_fp_saturation_and_empty():
