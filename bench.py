@@ -116,8 +116,14 @@ def main() -> None:
     engine = ClassifyEngine(
         targets, depletes, error_rate=ERROR_RATE, batch_size=BATCH_SIZE
     )
-    # warmup: compile every wave shape (phase A + all phase-B buckets)
-    engine.classify_sequences(seqs[:BATCH_SIZE])
+    # warmup: one FULL run — compiles both phase programs at the exact
+    # pool-bucket shapes of the measured run (the device pools are
+    # power-of-two bucketed, so a small warmup slice would compile
+    # different shapes and the measured run would recompile server-side)
+    t0 = time.perf_counter()
+    warm_classified, _, _ = engine.classify_sequences(seqs)
+    print(f"# warmup (compile) run: {time.perf_counter()-t0:.1f}s, "
+          f"classified {int(warm_classified.sum())}/{len(seqs)}")
 
     t0 = time.perf_counter()
     classified, best, _ = engine.classify_sequences(seqs)

@@ -228,9 +228,21 @@ class ClassifyEngine:
         # encode everything once on host; each phase ships ONE packed
         # array (pack5_np) and batch programs slice rows on device —
         # per-batch H2D pays a ~0.1-0.4 s tunnel round trip, a bulk put
-        # amortizes to streaming bandwidth (scripts/transfer_probe.py)
+        # amortizes to streaming bandwidth (scripts/transfer_probe.py).
+        # Pools are FLAT and padded to power-of-two byte buckets so the
+        # program shape (and its minutes-long server-side compile) does
+        # not depend on the input count.
         enc, lens = encode_batch(seqs, L)
         n_pad = -(-n // B) * B
+
+        def pool_put(rows2d: np.ndarray):
+            flat = np.ascontiguousarray(rows2d).reshape(-1)
+            bucket = 1 << max(int(flat.size - 1).bit_length(), 12)
+            if bucket != flat.size:
+                flat = np.concatenate(
+                    [flat, np.zeros(bucket - flat.size, dtype=flat.dtype)]
+                )
+            return jax.device_put(flat)
 
         # --- phase A: chunk 0 of every read --------------------------------
         fn_a = self._fused_fn(1, 0)
@@ -239,9 +251,9 @@ class ClassifyEngine:
             pk_a = np.concatenate(
                 [pk_a, np.zeros((n_pad - n, pk_a.shape[1]), dtype=np.uint8)]
             )
-        dev_a = jax.device_put(pk_a)
-        dev_lens = jax.device_put(
-            np.concatenate([lens, np.zeros(n_pad - n, dtype=lens.dtype)])
+        dev_a = pool_put(pk_a)
+        dev_lens = pool_put(
+            np.concatenate([lens, np.zeros(n_pad - n, dtype=np.int32)])
         )
         futs_a = [fn_a(dev_a, dev_lens, start) for start in range(0, n_pad, B)]
         outs_a = jax.device_get(futs_a)  # one batched D2H round trip
@@ -271,10 +283,10 @@ class ClassifyEngine:
                 pk_b = np.concatenate(
                     [pk_b, np.zeros((u_pad - u, pk_b.shape[1]), dtype=np.uint8)]
                 )
-            lb = np.zeros(u_pad, dtype=lens.dtype)
+            lb = np.zeros(u_pad, dtype=np.int32)
             lb[:u] = plens[sel] - cl
-            dev_b = jax.device_put(pk_b)
-            dev_lb = jax.device_put(lb)
+            dev_b = pool_put(pk_b)
+            dev_lb = pool_put(lb)
             futs_b = [fn_b(dev_b, dev_lb, s) for s in range(0, u_pad, B)]
             outs_b = jax.device_get(futs_b)
             ok = np.concatenate([np.asarray(o[0]) for o in outs_b])[:u]

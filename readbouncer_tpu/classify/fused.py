@@ -318,22 +318,25 @@ def make_fused_classify_packed_fn(
     ~110-420 ms on the tunnel (scripts/transfer_probe.py), one bulk put
     amortizes to ~12 MB/s.
 
-    Returned fn: (all_packed [N_pad, ceil(C*cl/3)] u8 device array,
-                  all_lengths [N_pad] i32 device array,
+    Returned fn: (packed_pool: FLAT u8 device array holding N_pad rows of
+                  ceil(C*cl/3) bytes (padded to a power-of-two bucket so
+                  pool size does not retrace the program),
+                  lens_pool: i32 device array (same bucketing),
                   start: int (row offset, traced))
     -> (classified [B] bool, best_target [B] i32, attempts [B] i32).
     """
     cl, C, B = chunk_length, max_chunks, batch_size
     L = C * cl
+    P = -(-L // 3)
     plan = plan if plan is not None else _plan_stacks(targets, depletes)
     base_fn = _fused_core(
         targets, depletes, cl, C, error_rate, significance, attempt_offset, plan
     )
 
-    def fn(bits_args, all_packed, all_lens, start):
-        seg = jax.lax.dynamic_slice_in_dim(all_packed, start, B, axis=0)
-        lens = jax.lax.dynamic_slice_in_dim(all_lens, start, B, axis=0)
-        reads = unpack5_jnp(seg, L)
+    def fn(bits_args, packed_pool, lens_pool, start):
+        seg = jax.lax.dynamic_slice(packed_pool, (start * P,), (B * P,))
+        lens = jax.lax.dynamic_slice(lens_pool, (start,), (B,))
+        reads = unpack5_jnp(seg.reshape(B, P), L)
         return base_fn(bits_args, reads, lens)
 
     jfn = jax.jit(fn)

@@ -400,7 +400,10 @@ def _counts_pallas(
         # +40% per-index cost — docs/PERF_NOTES.md)
         block = jax.lax.optimization_barrier(block)
         tab3 = bits.reshape(rows // BLOCK_ROWS, BLOCK_ROWS, W)
-        g = jnp.take(tab3, block.astype(jnp.int32), axis=0)  # [R, 2, n, 8, W]
+        # flat 1-D index gather (see the rbt1 branch note)
+        g = jnp.take(tab3, block.astype(jnp.int32).reshape(-1), axis=0).reshape(
+            R, 2, n, BLOCK_ROWS, W
+        )
         s_idx = jnp.arange(BLOCK_ROWS, dtype=jnp.uint32)
         selected = None  # [R, 2, n, 8] — which block rows belong to this k-mer
         for o in offs:
@@ -416,7 +419,12 @@ def _counts_pallas(
             _hash_rows_all_jnp(codes, h, rows, scheme)
         )
         for ridx in ridxs:
-            g = jnp.take(bits, ridx, axis=0)  # [R, 2, n, W]
+            # gather with FLAT 1-D indices: the same gather with
+            # [R, 2, n]-shaped indices lowers to a 1.4-6x slower op
+            # (scripts/gather_probe.py gprod vs g3; docs/PERF_NOTES.md)
+            g = jnp.take(bits, ridx.reshape(-1), axis=0).reshape(
+                R, 2, n, W
+            )
             anded = g if anded is None else (anded & g)
     valid = jnp.arange(n, dtype=jnp.int32)[None, :] < n_valid[:, None]  # [R, n]
     anded = jnp.where(valid[:, None, :, None], anded, jnp.uint32(0))
