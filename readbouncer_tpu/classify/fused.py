@@ -354,13 +354,19 @@ def make_fused_live_fn(
     max_seq_len: int,
     error_rate: float,
     significance: float,
+    packed: bool = False,
+    plan=None,
 ):
     """Build the jitted live decision step (check_unblock for a batch).
 
     Returned fn: (reads [R, max_seq_len] u8, lengths [R] i32)
     -> decisions [R] i32 (0 continue / 1 unblock / 2 stop_receiving).
+    With ``packed=True`` the fn takes base-243 packed reads
+    [R, ceil(max_seq_len/3)] instead (pack5_np) — 3x less H2D on the
+    live tick path.
     """
-    combined, n_targets = _plan_stacks(targets, depletes)
+    plan = plan if plan is not None else _plan_stacks(targets, depletes)
+    combined, n_targets = plan
     tabs = {}
     for name, stack in (("t", targets), ("d", depletes)):
         if stack is None:
@@ -395,10 +401,12 @@ def make_fused_live_fn(
         return jax_live_decisions(d_b, t_b, d_r, t_r)
 
     jfn = jax.jit(fn)
-    if combined is not None:
-        bits_args = (combined.bits,)
-    else:
-        bits_args = tuple(
-            s.bits for s in (targets, depletes) if s is not None
-        )
+    bits_args = _bits_args(targets, depletes, (combined, n_targets))
+    if packed:
+
+        def pfn(b_args, packed_reads, lengths):
+            return fn(b_args, unpack5_jnp(packed_reads, max_seq_len), lengths)
+
+        jpfn = jax.jit(pfn)
+        return lambda packed_reads, lengths: jpfn(bits_args, packed_reads, lengths)
     return lambda reads, lengths: jfn(bits_args, reads, lengths)

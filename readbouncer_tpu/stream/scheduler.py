@@ -84,28 +84,66 @@ class LiveClassifier:
         self.depletes = FilterStack(deplete_filters) if deplete_filters else None
         self.cfg = cfg
         # fused device step: one host<->device round trip per batch
-        # (counts + threshold tables + live policy in one XLA program)
-        self._fused = make_fused_live_fn(
+        # (counts + threshold tables + live policy in one XLA program).
+        # TWO length buckets: most ticks decide on a single fresh chunk
+        # (len ~250-500), only once_seen retries carry concatenated
+        # sequences up to give_up_len — padding everything to max_seq_len
+        # cost 4x the windows and put the p50 tick latency at ~172 ms
+        # (scripts/bench_live.py, round 3).  Reads ship base-243 packed.
+        from readbouncer_tpu.classify.fused import _plan_stacks
+
+        plan = _plan_stacks(self.targets, self.depletes)
+        self.short_len = min(512, cfg.max_seq_len)
+        self._fused_short = make_fused_live_fn(
             self.targets,
             self.depletes,
-            cfg.max_seq_len,
+            self.short_len,
             cfg.error_rate,
             cfg.significance,
+            packed=True,
+            plan=plan,
         )
+        self._fused_long = (
+            make_fused_live_fn(
+                self.targets,
+                self.depletes,
+                cfg.max_seq_len,
+                cfg.error_rate,
+                cfg.significance,
+                packed=True,
+                plan=plan,
+            )
+            if cfg.max_seq_len > self.short_len
+            else self._fused_short
+        )
+        self.long_batch = max(32, cfg.batch_size // 4)
+
+    def _dispatch(self, seqs, idx, width, batch, fn, futures):
+        from readbouncer_tpu.classify.fused import pack5_np
+
+        for start in range(0, len(idx), batch):
+            part_idx = idx[start : start + batch]
+            part = [seqs[j][:width] for j in part_idx]
+            enc, lens = encode_batch(part, width, batch=batch)
+            futures.append((part_idx, len(part), fn(pack5_np(enc), lens)))
 
     def decide(self, seqs: list[str]) -> np.ndarray:
         """Batched decisions: 0 continue / 1 unblock / 2 stop_receiving."""
         if not seqs:
             return np.zeros(0, dtype=np.int64)
         out = np.zeros(len(seqs), dtype=np.int64)
-        B = self.cfg.batch_size
-        futures = []
-        for start in range(0, len(seqs), B):
-            part = seqs[start : start + B]
-            batch, lens = encode_batch(part, self.cfg.max_seq_len, batch=B)
-            futures.append((start, len(part), self._fused(batch, lens)))
-        for start, m, d in futures:
-            out[start : start + m] = np.asarray(d)[:m]
+        lens = np.array([len(s) for s in seqs])
+        short = np.nonzero(lens <= self.short_len)[0]
+        long = np.nonzero(lens > self.short_len)[0]
+        futures: list = []
+        self._dispatch(
+            seqs, short, self.short_len, self.cfg.batch_size, self._fused_short, futures
+        )
+        self._dispatch(
+            seqs, long, self.cfg.max_seq_len, self.long_batch, self._fused_long, futures
+        )
+        for part_idx, m, d in futures:
+            out[part_idx] = np.asarray(d)[:m]
         return out
 
 

@@ -86,10 +86,15 @@ def main():
             output_dir=td,
             cfg=cfg,
         )
-        # warmup tick (compiles the fused live program)
+        # warmup BOTH length-bucket programs (the short one fires on the
+        # first tick, the long one only on the first once_seen retry —
+        # mid-run server-side compiles cost minutes on the tunnel)
+        t0 = time.monotonic()
+        sampler.classifier.decide(["ACGT" * 100, "ACGT" * 500])
+        print(f"# classifier warmup (compiles): {time.monotonic()-t0:.1f}s", flush=True)
         t0 = time.monotonic()
         sampler.step()
-        print(f"# first tick (compile): {time.monotonic()-t0:.1f}s", flush=True)
+        print(f"# first tick: {time.monotonic()-t0:.1f}s", flush=True)
         t_run = time.monotonic()
         max_ticks = args.ticks if args.ticks > 0 else None
         stats = sampler.run(max_ticks=max_ticks)

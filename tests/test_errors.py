@@ -64,9 +64,9 @@ def test_stack_geometry_and_empty():
     b = IBFData.empty(rows=16, num_bins=1, kmer_size=7, hash_functions=2)
     with pytest.raises(FilterGeometryError):
         FilterStack([a, b])
-    c = IBFData.empty(rows=16, num_bins=1, kmer_size=5, hash_functions=2, scheme="rbt1")
+    c = IBFData.empty(rows=16, num_bins=1, kmer_size=5, hash_functions=2, scheme="rbt2")
     with pytest.raises(FilterGeometryError):
-        FilterStack([a, c])
+        FilterStack([a, c])  # scheme mismatch (default build scheme is rbt1)
 
 
 def test_engine_requires_filters():
