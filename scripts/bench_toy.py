@@ -14,9 +14,15 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_tpu")
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 BASELINE_READS_PER_SEC = 506.0  # reference README.md:253-263
 

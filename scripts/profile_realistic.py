@@ -155,14 +155,16 @@ def main():
     tmin, tmed = timeit(f_counts, stack.bits, dreads, dlens)
     print(f"counts full (pallas path): min={tmin*1e3:.1f} med={tmed*1e3:.1f} ms", flush=True)
 
-    # gather+AND only
+    # gather+AND only (flat 1-D index operands, like the production path)
     def gather_and(bits, reads):
         codes = kmer_codes_jnp(reads, k)
         anded = None
         for i in range(h):
             z = fmix32_jnp(codes * jnp.uint32(int(SEEDS[i])))
             ridx = umulhi_u32(z, jnp.uint32(rows)).astype(jnp.int32)
-            g = jnp.take(bits, ridx, axis=0)
+            g = jnp.take(bits, ridx.reshape(-1), axis=0).reshape(
+                codes.shape + (bits.shape[1],)
+            )
             anded = g if anded is None else (anded & g)
         return anded
     f_ga = jax.jit(gather_and)
