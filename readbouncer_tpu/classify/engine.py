@@ -161,6 +161,28 @@ class ClassifyEngine:
             self._fused_cache[key] = fn
         return fn
 
+    def _indexed_fn(self, n_chunks: int, pool_words: int):
+        """Gather-by-index phase-B program (rows picked on device)."""
+        from readbouncer_tpu.classify.fused import make_fused_classify_indexed_fn
+
+        key = ("idx", n_chunks, pool_words)
+        fn = self._fused_cache.get(key)
+        if fn is None:
+            fn = make_fused_classify_indexed_fn(
+                self.targets,
+                self.depletes,
+                self.chunk_length,
+                n_chunks,
+                self.error_rate,
+                self.significance,
+                self.batch_size,
+                pool_words,
+                attempt_offset=1,
+                plan=self._plan,
+            )
+            self._fused_cache[key] = fn
+        return fn
+
     def _stack_counts(self, stack: FilterStack, frags, lens, retry: bool):
         counts = stack.counts(frags, lens)
         rate = self.error_rate - 0.02 if retry else self.error_rate
@@ -256,43 +278,62 @@ class ClassifyEngine:
             np.concatenate([lens, np.zeros(n_pad - n, dtype=np.int32)])
         )
         futs_a = [fn_a(dev_a, dev_lens, start) for start in range(0, n_pad, B)]
-        outs_a = jax.device_get(futs_a)  # one batched D2H round trip
 
+        # Speculatively pack + upload the phase-B candidate pool (chunks
+        # 1..C-1 of EVERY multi-chunk read) while the device chews on
+        # phase A — phase B then only uploads tiny row-index arrays and
+        # gathers its rows on device.  ~2.7x the minimal phase-B bytes,
+        # but fully overlapped with phase-A compute instead of serial.
+        dev_ball = dev_lb_all = None
+        pool_words = 0
+        if C > 1:
+            maybe_b = lens > cl
+            if maybe_b.any():
+                pk_all = pack5_np(enc[:, cl : cl * C])  # [n, ceil((C-1)*cl/3)]
+                pw = pk_all.shape[1]
+                pool_words = -(-pw // 4)
+                if pool_words * 4 != pw:
+                    pk_all = np.pad(pk_all, ((0, 0), (0, pool_words * 4 - pw)))
+                dev_ball = pool_put(pk_all.reshape(-1).view(np.uint32))
+                dev_lb_all = pool_put(
+                    np.maximum(lens.astype(np.int32) - cl, 0)
+                )
+
+        outs_a = jax.device_get(futs_a)  # one batched D2H round trip
         ok_a = np.concatenate([np.asarray(o[0]) for o in outs_a])[:n]
         classified[:] = ok_a
         best[:] = np.concatenate([np.asarray(o[1]) for o in outs_a])[:n]
         attempts[:] = np.concatenate([np.asarray(o[2]) for o in outs_a])[:n]
         pidx = np.nonzero(~ok_a & (lens > cl))[0]
-        if pidx.size == 0:
+        if pidx.size == 0 or dev_ball is None:
             return classified, best, attempts
 
         # --- phase B: remaining chunks of unresolved reads ------------------
         plens = lens[pidx]
         # bucket by chunks still to score (ceil(len/cl) - 1, capped at C-1)
         n_rest = np.minimum(-(-plens // cl), C) - 1  # [U] in 1..C-1
+        futs_b = []
         for c_rest in np.unique(n_rest):
             c_rest = int(c_rest)
             sel = np.nonzero(n_rest == c_rest)[0]
-            fn_b = self._fused_fn(c_rest, 1)
+            fn_b = self._indexed_fn(c_rest, pool_words)
             u = sel.size
             u_pad = -(-u // B) * B
-            pk_b = pack5_np(
-                np.ascontiguousarray(enc[pidx[sel], cl : cl * (1 + c_rest)])
-            )
-            if u_pad != u:
-                pk_b = np.concatenate(
-                    [pk_b, np.zeros((u_pad - u, pk_b.shape[1]), dtype=np.uint8)]
+            idx = np.zeros(u_pad, dtype=np.int32)
+            idx[:u] = pidx[sel]
+            dev_idx = pool_put(idx)
+            futs_b.append(
+                (
+                    pidx[sel],
+                    u,
+                    [fn_b(dev_ball, dev_lb_all, dev_idx, s) for s in range(0, u_pad, B)],
                 )
-            lb = np.zeros(u_pad, dtype=np.int32)
-            lb[:u] = plens[sel] - cl
-            dev_b = pool_put(pk_b)
-            dev_lb = pool_put(lb)
-            futs_b = [fn_b(dev_b, dev_lb, s) for s in range(0, u_pad, B)]
-            outs_b = jax.device_get(futs_b)
+            )
+        for out_idx, u, futs in futs_b:
+            outs_b = jax.device_get(futs)
             ok = np.concatenate([np.asarray(o[0]) for o in outs_b])[:u]
             bb = np.concatenate([np.asarray(o[1]) for o in outs_b])[:u]
             att = np.concatenate([np.asarray(o[2]) for o in outs_b])[:u]
-            out_idx = pidx[sel]
             classified[out_idx] = ok
             best[out_idx] = bb
             attempts[out_idx] = att

@@ -348,6 +348,61 @@ def make_fused_classify_packed_fn(
     )
 
 
+def make_fused_classify_indexed_fn(
+    targets: FilterStack | None,
+    depletes: FilterStack | None,
+    chunk_length: int,
+    max_chunks: int,
+    error_rate: float,
+    significance: float,
+    batch_size: int,
+    pool_row_words: int,
+    attempt_offset: int = 0,
+    plan=None,
+):
+    """Gather-by-index variant of make_fused_classify_packed_fn.
+
+    Phase B of the engine scores a compacted SUBSET of the phase-A pool.
+    Rather than packing + uploading that subset while the device idles,
+    the engine uploads the FULL candidate pool during phase-A compute
+    (overlapped) and phase-B programs pick their rows on device from a
+    tiny index array.
+
+    Returned fn: (pool_u32: flat u32 device array of N rows x
+                  pool_row_words words (pack5 bytes, 4-byte padded),
+                  lens_pool: i32 (phase-B lengths, same row ids),
+                  idx_pool: i32 (pending row ids, pow2-bucketed),
+                  start: int (offset into idx_pool, traced))
+    -> (classified [B] bool, best_target [B] i32, attempts [B] i32).
+    """
+    cl, C, B = chunk_length, max_chunks, batch_size
+    L = C * cl
+    PW = pool_row_words
+    plan = plan if plan is not None else _plan_stacks(targets, depletes)
+    base_fn = _fused_core(
+        targets, depletes, cl, C, error_rate, significance, attempt_offset, plan
+    )
+
+    def fn(bits_args, pool_u32, lens_pool, idx_pool, start):
+        idx = jax.lax.dynamic_slice(idx_pool, (start,), (B,))
+        # the pool is pow2-bucketed, so trim the tail that does not fill
+        # a whole row before viewing it 2-D
+        n_rows = pool_u32.shape[0] // PW
+        rows = jnp.take(
+            pool_u32[: n_rows * PW].reshape(n_rows, PW), idx, axis=0
+        )  # [B, PW]
+        packed = jax.lax.bitcast_convert_type(rows, jnp.uint8).reshape(B, PW * 4)
+        lens = jnp.take(lens_pool, idx)
+        reads = unpack5_jnp(packed, L)
+        return base_fn(bits_args, reads, lens)
+
+    jfn = jax.jit(fn)
+    bits_args = _bits_args(targets, depletes, plan)
+    return lambda pool_u32, lens_pool, idx_pool, start: jfn(
+        bits_args, pool_u32, lens_pool, idx_pool, jnp.int32(start)
+    )
+
+
 def make_fused_live_fn(
     targets: FilterStack | None,
     depletes: FilterStack | None,
