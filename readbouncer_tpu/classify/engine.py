@@ -117,6 +117,7 @@ class ClassifyEngine:
         chunk_length: int = 250,
         max_chunks: int = 5,
         batch_size: int = 1024,
+        overlap_pool: bool = False,
     ):
         if not target_filters and not deplete_filters:
             raise EmptyFilterError(
@@ -130,6 +131,13 @@ class ClassifyEngine:
         self.chunk_length = chunk_length
         self.max_chunks = max_chunks
         self.batch_size = batch_size
+        # overlap_pool=True uploads the full phase-B candidate pool while
+        # phase A computes and gathers compacted rows on device — removes
+        # the serial pack+upload stall on congested-tunnel days, but its
+        # indexed program costs ~4.5 min of extra cold compile per
+        # process (the tunnel has no working compile cache) for a
+        # within-noise gain on a healthy tunnel.  Off by default.
+        self.overlap_pool = overlap_pool
         self.kmer_size = (self.targets or self.depletes).kmer_size
         # jitted fused programs keyed by (n_chunks, attempt_offset),
         # built lazily (make_fused_classify_packed_fn); the merged
@@ -279,14 +287,14 @@ class ClassifyEngine:
         )
         futs_a = [fn_a(dev_a, dev_lens, start) for start in range(0, n_pad, B)]
 
-        # Speculatively pack + upload the phase-B candidate pool (chunks
-        # 1..C-1 of EVERY multi-chunk read) while the device chews on
-        # phase A — phase B then only uploads tiny row-index arrays and
-        # gathers its rows on device.  ~2.7x the minimal phase-B bytes,
-        # but fully overlapped with phase-A compute instead of serial.
+        # overlap_pool: speculatively pack + upload the phase-B candidate
+        # pool (chunks 1..C-1 of EVERY multi-chunk read) while the device
+        # chews on phase A — phase B then only uploads tiny row-index
+        # arrays and gathers its rows on device.  ~2.7x the minimal
+        # phase-B bytes, but fully overlapped with phase-A compute.
         dev_ball = dev_lb_all = None
         pool_words = 0
-        if C > 1:
+        if self.overlap_pool and C > 1:
             maybe_b = lens > cl
             if maybe_b.any():
                 pk_all = pack5_np(enc[:, cl : cl * C])  # [n, ceil((C-1)*cl/3)]
@@ -305,7 +313,7 @@ class ClassifyEngine:
         best[:] = np.concatenate([np.asarray(o[1]) for o in outs_a])[:n]
         attempts[:] = np.concatenate([np.asarray(o[2]) for o in outs_a])[:n]
         pidx = np.nonzero(~ok_a & (lens > cl))[0]
-        if pidx.size == 0 or dev_ball is None:
+        if pidx.size == 0:
             return classified, best, attempts
 
         # --- phase B: remaining chunks of unresolved reads ------------------
@@ -316,19 +324,32 @@ class ClassifyEngine:
         for c_rest in np.unique(n_rest):
             c_rest = int(c_rest)
             sel = np.nonzero(n_rest == c_rest)[0]
-            fn_b = self._indexed_fn(c_rest, pool_words)
             u = sel.size
             u_pad = -(-u // B) * B
-            idx = np.zeros(u_pad, dtype=np.int32)
-            idx[:u] = pidx[sel]
-            dev_idx = pool_put(idx)
-            futs_b.append(
-                (
-                    pidx[sel],
-                    u,
-                    [fn_b(dev_ball, dev_lb_all, dev_idx, s) for s in range(0, u_pad, B)],
+            if dev_ball is not None:
+                fn_b = self._indexed_fn(c_rest, pool_words)
+                idx = np.zeros(u_pad, dtype=np.int32)
+                idx[:u] = pidx[sel]
+                dev_idx = pool_put(idx)
+                futs = [
+                    fn_b(dev_ball, dev_lb_all, dev_idx, s)
+                    for s in range(0, u_pad, B)
+                ]
+            else:
+                fn_b = self._fused_fn(c_rest, 1)
+                pk_b = pack5_np(
+                    np.ascontiguousarray(enc[pidx[sel], cl : cl * (1 + c_rest)])
                 )
-            )
+                if u_pad != u:
+                    pk_b = np.concatenate(
+                        [pk_b, np.zeros((u_pad - u, pk_b.shape[1]), dtype=np.uint8)]
+                    )
+                lb = np.zeros(u_pad, dtype=np.int32)
+                lb[:u] = plens[sel] - cl
+                dev_b = pool_put(pk_b)
+                dev_lb = pool_put(lb)
+                futs = [fn_b(dev_b, dev_lb, s) for s in range(0, u_pad, B)]
+            futs_b.append((pidx[sel], u, futs))
         for out_idx, u, futs in futs_b:
             outs_b = jax.device_get(futs)
             ok = np.concatenate([np.asarray(o[0]) for o in outs_b])[:u]

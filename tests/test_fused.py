@@ -179,3 +179,26 @@ def test_two_phase_all_unresolved_padding(filters):
     np.testing.assert_array_equal(b1, b2)
     np.testing.assert_array_equal(a1, a2)
     assert not c1.any() and (a1 == 3).all()
+
+
+def test_overlap_pool_engine_matches_serial(filters):
+    """overlap_pool=True (speculative pool upload + on-device row gather,
+    make_fused_classify_indexed_fn) must produce identical decisions to
+    the default serial phase-B path and the wave oracle."""
+    genomes, tf, df = filters
+    rng = np.random.default_rng(11)
+    g = genomes["t0"]
+    seqs = [g[i : i + 600] for i in range(0, 1800, 600)]
+    seqs += ["".join("ACGT"[j] for j in rng.integers(0, 4, 700)) for _ in range(5)]
+    kw = dict(error_rate=0.1, chunk_length=250, max_chunks=3, batch_size=8)
+    e_overlap = ClassifyEngine(tf, df, overlap_pool=True, **kw)
+    e_serial = ClassifyEngine(tf, df, **kw)
+    c1, b1, a1 = e_overlap.classify_sequences(seqs)
+    c2, b2, a2 = e_serial.classify_sequences(seqs)
+    c3, b3, a3 = e_serial.classify_sequences_waves(seqs)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(b1, b2)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(c1, c3)
+    np.testing.assert_array_equal(b1, b3)
+    np.testing.assert_array_equal(a1, a3)
