@@ -254,6 +254,8 @@ class ClassifyEngine:
         classified = np.zeros(n, dtype=bool)
         best = np.full(n, -1, dtype=np.int64)
         attempts = np.zeros(n, dtype=np.int64)
+        if n == 0:
+            return classified, best, attempts
 
         # encode everything once on host; each phase ships ONE packed
         # array (pack5_np) and batch programs slice rows on device —
@@ -302,7 +304,9 @@ class ClassifyEngine:
                 pool_words = -(-pw // 4)
                 if pool_words * 4 != pw:
                     pk_all = np.pad(pk_all, ((0, 0), (0, pool_words * 4 - pw)))
-                dev_ball = pool_put(pk_all.reshape(-1).view(np.uint32))
+                # '<u4' view pairs with the device's little-endian
+                # bitcast_convert_type split (fused.py) on any host
+                dev_ball = pool_put(pk_all.reshape(-1).view(np.dtype("<u4")))
                 dev_lb_all = pool_put(
                     np.maximum(lens.astype(np.int32) - cl, 0)
                 )

@@ -81,7 +81,12 @@ class GRUBasecaller(Basecaller):
         )
 
     def basecall(self, signals: list[np.ndarray]) -> list[str]:
-        """Raw current signals -> basecalled sequences (batched)."""
+        """Raw current signals -> basecalled sequences (batched).
+
+        Signals longer than the compiled program's ``max_frames`` window
+        (frames = (len - window) // stride + 1) are truncated; fine for
+        0.4 s live chunks, lossy for full offline reads — flagged once.
+        """
         if not signals:
             return []
         framed = [self.frames_for(s) for s in signals]
@@ -89,10 +94,24 @@ class GRUBasecaller(Basecaller):
         B = len(framed)
         batch = np.zeros((B, T, self.model.window), dtype=np.float32)
         lens = np.zeros(B, dtype=np.int32)
+        w, st = self.model.window, self.frame_stride
+        truncated = sum(
+            1 for s in signals if (max(len(s), w) - w) // st + 1 > T
+        )
         for i, f in enumerate(framed):
             n = min(f.shape[0], T)
             batch[i, :n] = f[:n]
             lens[i] = n
+        if truncated and not getattr(self, "_warned_truncation", False):
+            self._warned_truncation = True
+            import warnings
+
+            warnings.warn(
+                f"GRUBasecaller: {truncated} signal(s) exceed max_frames="
+                f"{T} and lose their tail; raise max_frames for offline "
+                "use on full-length reads",
+                stacklevel=2,
+            )
         logits = np.asarray(self.model.logits(batch))
         if self.decoder == "beam":
             return [

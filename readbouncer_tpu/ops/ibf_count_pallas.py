@@ -151,25 +151,33 @@ def accumulate_planes_pallas(
     multiple of the window block; padded windows must be zero.
     """
     R2, n_pad, W = a.shape
-    r2b = 32 if R2 % 32 == 0 else (8 if R2 % 8 == 0 else R2)
+    # pad the read-strand axis up to a sublane multiple so a direct call
+    # with odd R2 never produces a single whole-array VMEM block (the
+    # engine call sites always pad to batch_size; this keeps the kernel
+    # general for any batch shape)
+    R2_pad = -(-R2 // 8) * 8
+    if R2_pad != R2:
+        a = jnp.pad(a, ((0, R2_pad - R2), (0, 0), (0, 0)))
+    r2b = 32 if R2_pad % 32 == 0 else 8
     wcb = min(_WCB, n_pad)
-    if R2 % r2b or n_pad % wcb or (wcb & (wcb - 1)):
+    if n_pad % wcb or (wcb & (wcb - 1)):
         raise ValueError(f"bad padding: {a.shape} vs blocks ({r2b}, {wcb})")
-    grid = (R2 // r2b, n_pad // wcb)
+    grid = (R2_pad // r2b, n_pad // wcb)
     kernel = functools.partial(_planes_kernel, n_planes)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((r2b, wcb, W), lambda r, c: (r, c, 0)),
         ],
         out_specs=pl.BlockSpec((r2b, n_planes, W), lambda r, c: (r, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((R2, n_planes, W), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((R2_pad, n_planes, W), jnp.uint32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
     )(a)
+    return out[:R2] if R2_pad != R2 else out
 
 
 def expand_planes(planes: jnp.ndarray) -> jnp.ndarray:

@@ -113,12 +113,21 @@ def allgather_pytree(tree):
 
 
 def aggregate_counters(counters: dict[str, int | float]) -> dict[str, int | float]:
-    """Sum scalar counters across hosts (process-0 report aggregation)."""
+    """Sum scalar counters across hosts (process-0 report aggregation).
+
+    Integers travel as int64 (exact for any count; a float64 round trip
+    silently loses precision above 2**53), floats as float64.
+    """
     keys = sorted(counters)
-    vec = np.array([float(counters[k]) for k in keys], dtype=np.float64)
-    total = allgather_pytree(vec).sum(axis=0)
-    out = {}
-    for k, v in zip(keys, total):
-        orig = counters[k]
-        out[k] = int(v) if isinstance(orig, (int, np.integer)) else float(v)
+    int_keys = [k for k in keys if isinstance(counters[k], (int, np.integer))]
+    flt_keys = [k for k in keys if k not in int_keys]
+    out: dict[str, int | float] = {}
+    if int_keys:
+        ivec = np.array([counters[k] for k in int_keys], dtype=np.int64)
+        itotal = allgather_pytree(ivec).sum(axis=0)
+        out.update({k: int(v) for k, v in zip(int_keys, itotal)})
+    if flt_keys:
+        fvec = np.array([float(counters[k]) for k in flt_keys], dtype=np.float64)
+        ftotal = allgather_pytree(fvec).sum(axis=0)
+        out.update({k: float(v) for k, v in zip(flt_keys, ftotal)})
     return out

@@ -132,3 +132,19 @@ def test_end_to_end_basecall_runs():
     seqs = bc.basecall(sigs)
     assert len(seqs) == 3
     assert all(set(s) <= set("ACGT") for s in seqs)
+
+
+def test_basecall_truncation_warns_once():
+    """Signals past max_frames lose their tail -> warn once (not silent)."""
+    import warnings
+
+    from readbouncer_tpu.models.basecaller import GRUBasecaller
+
+    bc = GRUBasecaller(max_frames=64)
+    rng = np.random.default_rng(7)
+    long_sig = rng.normal(size=3000).astype(np.float32) * 20 + 400
+    with pytest.warns(UserWarning, match="max_frames"):
+        bc.basecall([long_sig])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # second call must stay quiet
+        bc.basecall([long_sig])

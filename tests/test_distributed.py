@@ -39,6 +39,16 @@ def test_single_process_aggregation():
     assert agg == {"x": 2, "y": 1.5}
 
 
+def test_aggregate_counters_int_exact_above_2_53():
+    # int counters must not round-trip through float64 (exact only below
+    # 2**53); 2**53 + 1 is the first integer float64 cannot represent
+    big = (1 << 53) + 1
+    agg = aggregate_counters({"n": big, "m": 3})
+    assert agg["n"] == big
+    assert isinstance(agg["n"], int)
+    assert agg["m"] == 3
+
+
 _WORKER = r"""
 import json, os, sys
 import numpy as np
@@ -101,3 +111,147 @@ def test_two_process_cpu_cluster(tmp_path):
     total = json.loads(result_lines[0][len("RESULT "):])
     # 7 items over 2 hosts: all items counted exactly once across hosts
     assert total == {"n": 7, "s": float(sum(range(7)))}
+
+
+_CLASSIFY_WORKER = r"""
+import json, os, sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+work = sys.argv[4]
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=nproc, process_id=pid
+)
+sys.path.insert(0, os.environ["REPO"])
+from readbouncer_tpu.classify.engine import classify_read_files
+from readbouncer_tpu.ibf.build import build_ibf
+from readbouncer_tpu.ibf.params import IBFParams
+from readbouncer_tpu.parallel.distributed import aggregate_counters
+
+params = IBFParams(kmer_size=13, fragment_length=100_000)
+target, _ = build_ibf([f"{work}/targetA.fasta"], params, name="targetA")
+deplete, _ = build_ibf([f"{work}/host.fasta"], params, name="host")
+res = classify_read_files(
+    [f"{work}/reads.fasta"],
+    target_filters=[target],
+    deplete_filters=[deplete],
+    error_rate=0.1,
+    output_dir=f"{work}/out_multi",
+    verbose=False,
+    shard=(pid, nproc),
+    output_suffix=f".h{pid}",
+)
+total = aggregate_counters(
+    {
+        "found": res.found,
+        "failed": res.failed,
+        "too_short": res.too_short,
+        "read_counter": res.read_counter,
+        "t:targetA": res.per_target["targetA"],
+    }
+)
+if pid == 0:
+    print("RESULT " + json.dumps(total))
+"""
+
+
+def test_two_process_classify_end_to_end(tmp_path):
+    """Two jax.distributed processes run classify_read_files with
+    shard=(i,2): outputs are disjoint, summed counters == the
+    single-process run (SURVEY §2.2 last row; multi-host classify)."""
+    from readbouncer_tpu.classify.engine import classify_read_files
+    from readbouncer_tpu.ibf.build import build_ibf
+    from readbouncer_tpu.ibf.params import IBFParams
+
+    rng = np.random.default_rng(23)
+
+    def rand_seq(n):
+        return "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+
+    refs = {"targetA": rand_seq(3000), "host": rand_seq(3000)}
+    for name, seq in refs.items():
+        (tmp_path / f"{name}.fasta").write_text(f">{name}\n{seq}\n")
+    reads = []
+    for i in range(6):
+        s = int(rng.integers(0, 2600))
+        reads.append((f"a_{i}", refs["targetA"][s : s + 400]))
+    for i in range(5):
+        s = int(rng.integers(0, 2600))
+        reads.append((f"h_{i}", refs["host"][s : s + 400]))
+    reads.append(("short_0", "ACGT" * 20))
+    rng.shuffle(reads)
+    (tmp_path / "reads.fasta").write_text(
+        "".join(f">{rid}\n{seq}\n" for rid, seq in reads)
+    )
+
+    # single-process oracle
+    params = IBFParams(kmer_size=13, fragment_length=100_000)
+    target, _ = build_ibf([tmp_path / "targetA.fasta"], params, name="targetA")
+    deplete, _ = build_ibf([tmp_path / "host.fasta"], params, name="host")
+    solo = classify_read_files(
+        [tmp_path / "reads.fasta"],
+        target_filters=[target],
+        deplete_filters=[deplete],
+        error_rate=0.1,
+        output_dir=tmp_path / "out_solo",
+        verbose=False,
+    )
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env["REPO"] = str(Path(__file__).resolve().parent.parent)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
+    script = tmp_path / "worker.py"
+    script.write_text(_CLASSIFY_WORKER)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), "2", str(port), str(tmp_path)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            env=env,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("classify workers timed out")
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed: {err[-2000:]}"
+    result_lines = [
+        ln for rc, out, _ in outs for ln in out.splitlines() if ln.startswith("RESULT ")
+    ]
+    assert len(result_lines) == 1
+    total = json.loads(result_lines[0][len("RESULT "):])
+    assert total["found"] == solo.found
+    assert total["failed"] == solo.failed
+    assert total["too_short"] == solo.too_short
+    assert total["read_counter"] == solo.read_counter
+    assert total["t:targetA"] == solo.per_target["targetA"]
+
+    def ids_in(path):
+        if not path.exists():
+            return set()
+        return {
+            ln[1:].split()[0]
+            for ln in path.read_text().splitlines()
+            if ln.startswith(">")
+        }
+
+    out_multi = tmp_path / "out_multi"
+    for stem in ("targetA", "unclassified"):
+        h0 = ids_in(out_multi / f"{stem}.h0.fasta")
+        h1 = ids_in(out_multi / f"{stem}.h1.fasta")
+        assert not (h0 & h1), f"{stem}: shard outputs overlap"
+        solo_ids = ids_in(tmp_path / "out_solo" / f"{stem}.fasta")
+        assert (h0 | h1) == solo_ids

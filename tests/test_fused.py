@@ -202,3 +202,11 @@ def test_overlap_pool_engine_matches_serial(filters):
     np.testing.assert_array_equal(c1, c3)
     np.testing.assert_array_equal(b1, b3)
     np.testing.assert_array_equal(a1, a3)
+
+
+def test_classify_sequences_empty(filters):
+    """classify_sequences([]) returns empty arrays (no device dispatch)."""
+    genomes, tf, df = filters
+    e = ClassifyEngine(tf, df, error_rate=0.1, chunk_length=250, max_chunks=3, batch_size=8)
+    c, b, a = e.classify_sequences([])
+    assert c.shape == (0,) and b.shape == (0,) and a.shape == (0,)

@@ -252,3 +252,27 @@ def test_rbt2_empirical_fp_rate(tmp_path):
         n_hits += int(c[:, 0].sum())
     fp = n_hits / n_windows
     assert fp < 0.02, f"empirical FP {fp:.4f} vs target 0.01"
+
+
+def test_accumulate_planes_pallas_odd_r2():
+    """Direct call with R2 not a multiple of 8: the kernel pads the
+    read-strand axis internally (ADVICE r3) and stays exact."""
+    import jax.numpy as jnp
+
+    from readbouncer_tpu.ops.ibf_count_pallas import (
+        accumulate_planes_pallas,
+        expand_planes,
+    )
+
+    rng = np.random.default_rng(5)
+    R2, n_pad, W = 6, 128, 3
+    n_valid = 100
+    a = rng.integers(0, 2**32, size=(R2, n_pad, W), dtype=np.uint32)
+    a[:, n_valid:, :] = 0  # padded windows must be zero
+    n_planes = int(n_valid).bit_length()
+    planes = accumulate_planes_pallas(jnp.asarray(a), n_planes, interpret=True)
+    counts = np.asarray(expand_planes(planes))
+    assert counts.shape == (R2, W * 32)
+    bits = (a[:, :, :, None] >> np.arange(32, dtype=np.uint32)) & 1
+    expect = bits.sum(axis=1).reshape(R2, W * 32)
+    np.testing.assert_array_equal(counts, expect)
