@@ -246,7 +246,9 @@ def run_target(config: ConfigReader, verbose: bool) -> int:
         cfg=cfg,
     )
     log.info("live run starting: %d queued reads", len(source.reads))
-    stats = sampler.run()
+    # Ctrl-C requests a graceful stop: actions drain and the final block
+    # still prints (reference SIGINT handler, src/main/main.cpp:69-78)
+    stats = sampler.run(handle_sigint=True)
     print(stats.report())
     log.info("live run finished after %d ticks", stats.ticks)
     return 0

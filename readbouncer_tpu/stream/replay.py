@@ -35,6 +35,9 @@ __all__ = [
     "ReplaySource",
     "sequence_to_signal",
     "NearestLevelBasecaller",
+    "CHUNK_CLASS_STRAND",
+    "CHUNK_CLASS_ADAPTER",
+    "DEFAULT_ACCEPTED_CLASSES",
 ]
 
 # idealized pore current levels per base (pA), loosely r9.4.1-shaped
@@ -83,6 +86,13 @@ class NearestLevelBasecaller:
         return out
 
 
+# MinKNOW chunk classifications accepted by the reference's signal
+# consumer (strand=83, adapter=65; src/minknow/Data.cpp:55-66,378-391)
+CHUNK_CLASS_STRAND = 83
+CHUNK_CLASS_ADAPTER = 65
+DEFAULT_ACCEPTED_CLASSES = frozenset({CHUNK_CLASS_STRAND, CHUNK_CLASS_ADAPTER})
+
+
 @dataclass
 class SignalChunk:
     channel: int
@@ -90,6 +100,7 @@ class SignalChunk:
     read_id: str
     signal: np.ndarray  # float32 raw samples for this 0.4 s window
     chunk_index: int
+    classification: int = CHUNK_CLASS_STRAND
 
 
 @dataclass
@@ -112,6 +123,14 @@ class ReplaySource:
     sample_rate: int = 4000
     break_seconds: float = 0.4
     seed: int = 0
+    # chunk-classification filter (reference: the consumer drops chunks
+    # whose classifications are not strand/adapter,
+    # src/minknow/Data.cpp:55-66,378-391).  ``chunk_classifier`` maps
+    # (read, chunk_index) -> MinKNOW classification id; chunks whose id
+    # is not in ``accepted_classes`` are suppressed (the read's signal
+    # still advances, exactly like the reference skipping the channel).
+    chunk_classifier: object = None  # callable | None
+    accepted_classes: frozenset = DEFAULT_ACCEPTED_CLASSES
 
     def __post_init__(self):
         self.chunk_samples = int(self.sample_rate * self.break_seconds)
@@ -125,6 +144,7 @@ class ReplaySource:
             "unblocked": 0,
             "stop_received": 0,
             "samples_saved": 0,
+            "chunks_filtered": 0,
         }
 
     @classmethod
@@ -178,15 +198,25 @@ class ReplaySource:
             end = min(start + self.chunk_samples, read.signal.shape[0])
             read.emitted = end
             if not read.stopped and end > start:
-                chunks.append(
-                    SignalChunk(
-                        channel=ch,
-                        read_number=read.number,
-                        read_id=read.read_id,
-                        signal=read.signal[start:end],
-                        chunk_index=start // self.chunk_samples,
-                    )
+                ci = start // self.chunk_samples
+                cls = (
+                    int(self.chunk_classifier(read, ci))
+                    if self.chunk_classifier is not None
+                    else CHUNK_CLASS_STRAND
                 )
+                if cls in self.accepted_classes:
+                    chunks.append(
+                        SignalChunk(
+                            channel=ch,
+                            read_number=read.number,
+                            read_id=read.read_id,
+                            signal=read.signal[start:end],
+                            chunk_index=ci,
+                            classification=cls,
+                        )
+                    )
+                else:
+                    self.stats["chunks_filtered"] += 1
             if end >= read.signal.shape[0]:
                 done.append(ch)
                 self.stats["reads_completed"] += 1

@@ -270,6 +270,11 @@ class LiveStats:
     basecall_seconds: float = 0.0
     classify_seconds: float = 0.0
     reads_processed: int = 0
+    # end-of-run action delivery counts (reference: Data's final success/
+    # failed unblock report from MinKNOW action responses,
+    # src/minknow/Data.cpp:404-421)
+    actions_succeeded: int = 0
+    actions_failed: int = 0
 
     def p50_latency(self) -> float:
         return float(np.median(self.tick_latencies)) if self.tick_latencies else 0.0
@@ -282,6 +287,8 @@ class LiveStats:
                 f"Number of unclassified reads\t\t\t\t:\t{self.unclassified}",
                 f"Reads unblocked\t\t\t\t\t\t:\t{self.unblocked}",
                 f"Reads stop_receiving\t\t\t\t\t:\t{self.stop_received}",
+                f"Number of successfully applied actions\t\t\t:\t{self.actions_succeeded}",
+                f"Number of actions failed to apply\t\t\t:\t{self.actions_failed}",
                 f"Average read length\t\t\t\t\t:\t{self.avg_read_len.mean:.1f}",
                 f"p50 per-batch decision latency\t\t\t\t:\t{self.p50_latency()*1000:.2f} ms",
                 f"Average basecall time / read\t\t\t\t:\t{self.basecall_seconds/max(1,self.reads_processed):.6f} s",
@@ -321,6 +328,7 @@ class AdaptiveSampler:
         self.measures: dict[str, TimeMeasures] = {}
         self.pending_bc: dict[str, str] = {}
         self.once_seen: dict[str, tuple[str, int]] = {}
+        self._stop_requested = False
         self.depleted_writer = FastaWriter(self.output_dir / "DepletedReads.fasta")
         self.target_writer = FastaWriter(self.output_dir / "TargetReads.fasta")
 
@@ -419,13 +427,46 @@ class AdaptiveSampler:
         )
         return len(chunks)
 
-    def run(self, max_ticks: int | None = None) -> LiveStats:
-        ticks = 0
-        while not self.source.finished:
-            self.step()
-            ticks += 1
-            if max_ticks is not None and ticks >= max_ticks:
-                break
+    def request_stop(self) -> None:
+        """Ask the run loop to stop after the current tick (graceful:
+        queued actions are drained and the final block is still produced
+        — the reference's SIGINT handler analog, src/main/main.cpp:69-78,
+        minus its hard exit)."""
+        self._stop_requested = True
+
+    def run(
+        self, max_ticks: int | None = None, handle_sigint: bool = False
+    ) -> LiveStats:
+        """Drive ticks until the source finishes (or stop is requested).
+
+        ``handle_sigint=True`` installs a SIGINT handler for the duration
+        of the loop: the first Ctrl-C requests a graceful stop (drain +
+        final report), a second one falls through to KeyboardInterrupt.
+        """
+        import signal as _signal
+
+        prev_handler = None
+        if handle_sigint:
+
+            def _on_sigint(signum, frame):
+                if self._stop_requested:  # second Ctrl-C: give up
+                    raise KeyboardInterrupt
+                self.request_stop()
+
+            try:
+                prev_handler = _signal.signal(_signal.SIGINT, _on_sigint)
+            except ValueError:  # not the main thread
+                prev_handler = None
+        try:
+            ticks = 0
+            while not self.source.finished and not self._stop_requested:
+                self.step()
+                ticks += 1
+                if max_ticks is not None and ticks >= max_ticks:
+                    break
+        finally:
+            if prev_handler is not None:
+                _signal.signal(_signal.SIGINT, prev_handler)
         self.sender.drain()
         # reads whose chunks ran out while unclassified (a read can sit in
         # both maps: once_seen from an earlier chunk, pending from its last)
@@ -445,5 +486,7 @@ class AdaptiveSampler:
             )
         self.depleted_writer.close()
         self.target_writer.close()
+        self.stats.actions_succeeded = self.sender.succeeded
+        self.stats.actions_failed = self.sender.failed
         self.sender.close()
         return self.stats

@@ -151,3 +151,92 @@ def test_live_give_up_long_unclassified(world, tmp_path):
     assert stats.stop_received == 1
     assert src.stats["stop_received"] == 1
     assert (tmp_path / "TargetReads.fasta").read_text().count(">mystery") == 1
+
+
+def test_live_report_action_counts(world, tmp_path):
+    """LiveStats.report() carries the end-of-run success/failed action
+    counts (reference: src/minknow/Data.cpp:404-421)."""
+    rng, host, target, host_ibf, target_ibf = world
+    reads = _mk_reads(rng, host, 2, 4000, "host")
+    src = ReplaySource(reads=reads, channels=2)
+    cfg = LiveConfig(batch_size=16)
+    sampler = AdaptiveSampler(
+        source=src,
+        basecaller=NearestLevelBasecaller(),
+        classifier=LiveClassifier([target_ibf], [host_ibf], cfg),
+        output_dir=tmp_path,
+        cfg=cfg,
+    )
+    stats = sampler.run(max_ticks=50)
+    assert stats.actions_succeeded == 2
+    assert stats.actions_failed == 0
+    text = stats.report()
+    assert "Number of successfully applied actions\t\t\t:\t2" in text
+    assert "Number of actions failed to apply\t\t\t:\t0" in text
+
+
+def test_live_sigint_graceful_stop(world, tmp_path):
+    """SIGINT during the run loop stops gracefully: queued actions drain,
+    the final report is still produced (src/main/main.cpp:69-78)."""
+    import os
+    import signal
+
+    rng, host, target, host_ibf, target_ibf = world
+    reads = _mk_reads(rng, host, 8, 4000, "host")
+    src = ReplaySource(reads=reads, channels=2)
+    cfg = LiveConfig(batch_size=16)
+
+    class InterruptingBasecaller(NearestLevelBasecaller):
+        calls = 0
+
+        def basecall(self, signals):
+            InterruptingBasecaller.calls += 1
+            if InterruptingBasecaller.calls == 3:
+                os.kill(os.getpid(), signal.SIGINT)
+            return super().basecall(signals)
+
+    sampler = AdaptiveSampler(
+        source=src,
+        basecaller=InterruptingBasecaller(),
+        classifier=LiveClassifier([target_ibf], [host_ibf], cfg),
+        output_dir=tmp_path,
+        cfg=cfg,
+    )
+    stats = sampler.run(handle_sigint=True)  # returns instead of raising
+    assert sampler._stop_requested
+    assert not src.finished  # stopped early, reads still pending
+    assert len(sampler.sender._queue) == 0  # drained
+    assert "classified reads" in stats.report()
+    # handler restored after the run
+    assert signal.getsignal(signal.SIGINT) not in (None,)
+
+
+def test_chunk_classification_filter(world):
+    """Chunks whose classification is not strand/adapter are suppressed
+    (reference: src/minknow/Data.cpp:55-66,378-391)."""
+    from readbouncer_tpu.stream.replay import (
+        CHUNK_CLASS_ADAPTER,
+        CHUNK_CLASS_STRAND,
+        ReplaySource,
+    )
+
+    rng, host, *_ = world
+    reads = _mk_reads(rng, host, 1, 2000, "host")
+
+    def classifier(read, chunk_index):
+        # first chunk adapter, second chunk "pore" (unaccepted), rest strand
+        if chunk_index == 0:
+            return CHUNK_CLASS_ADAPTER
+        if chunk_index == 1:
+            return 66  # pore
+        return CHUNK_CLASS_STRAND
+
+    src = ReplaySource(reads=reads, channels=1, chunk_classifier=classifier)
+    seen = []
+    while not src.finished:
+        seen.extend(src.tick())
+    idxs = [c.chunk_index for c in seen]
+    assert 1 not in idxs  # the unaccepted chunk was filtered
+    assert 0 in idxs and 2 in idxs
+    assert src.stats["chunks_filtered"] == 1
+    assert seen[0].classification == CHUNK_CLASS_ADAPTER
