@@ -242,127 +242,79 @@ class ClassifyEngine:
         chunk's decision is independent and the first classified chunk
         wins.  Batches within a phase are dispatched asynchronously so
         transfers and compute pipeline.
-        """
-        import jax
 
-        from readbouncer_tpu.classify.fused import pack5_np
+        This is ``classify_submit(seqs).finish()``; drivers that overlap
+        host work with device compute hold several submitted jobs in
+        flight (classify_read_files pipeline).
+        """
+        return self.classify_submit(seqs).finish()
+
+    def classify_submit(self, seqs: list[str]) -> "_ClassifyJob":
+        """Encode + upload + dispatch phase A; returns a finishable job.
+
+        All host-side preparation (native encode, pack5, H2D puts, async
+        phase-A dispatch, and — with overlap_pool — the speculative
+        phase-B pool upload) happens here, so a driver can prepare batch
+        i+1 while the device computes batch i.  ``_ClassifyJob.finish``
+        collects phase A, dispatches phase B and returns the results.
+        """
+        return _ClassifyJob(self, seqs)
+
+    def classify_sequences_pipelined(
+        self,
+        seqs: list[str],
+        host_batch_reads: int = 8192,
+        depth: int = 2,
+    ):
+        """classify_sequences over pipelined host batches.
+
+        Splits ``seqs`` into host batches and keeps ``depth`` submitted
+        jobs in flight: batch i+1's encode/pack/H2D/phase-A dispatch
+        happens while the device computes batch i, and each finish()'s
+        phase-B dispatch rides behind the already-queued phase A of the
+        next batches — the device never waits for host packing.
+        Identical results to classify_sequences (same per-read
+        decisions; batches are independent).
+        """
+        from collections import deque
 
         n = len(seqs)
-        cl, C = self.chunk_length, self.max_chunks
-        L = cl * C
-        B = self.batch_size
         classified = np.zeros(n, dtype=bool)
         best = np.full(n, -1, dtype=np.int64)
         attempts = np.zeros(n, dtype=np.int64)
-        if n == 0:
-            return classified, best, attempts
+        in_flight: deque = deque()  # (job, start)
 
-        # encode everything once on host; each phase ships ONE packed
-        # array (pack5_np) and batch programs slice rows on device —
-        # per-batch H2D pays a ~0.1-0.4 s tunnel round trip, a bulk put
-        # amortizes to streaming bandwidth (scripts/transfer_probe.py).
-        # Pools are FLAT and padded to power-of-two byte buckets so the
-        # program shape (and its minutes-long server-side compile) does
-        # not depend on the input count.
-        enc, lens = encode_batch(seqs, L)
-        n_pad = -(-n // B) * B
+        def drain_one():
+            job, start = in_flight.popleft()
+            c, b, a = job.finish()
+            classified[start : start + job.n] = c
+            best[start : start + job.n] = b
+            attempts[start : start + job.n] = a
 
-        def pool_put(rows2d: np.ndarray):
-            flat = np.ascontiguousarray(rows2d).reshape(-1)
-            bucket = 1 << max(int(flat.size - 1).bit_length(), 12)
-            if bucket != flat.size:
-                flat = np.concatenate(
-                    [flat, np.zeros(bucket - flat.size, dtype=flat.dtype)]
-                )
-            return jax.device_put(flat)
-
-        # --- phase A: chunk 0 of every read --------------------------------
-        fn_a = self._fused_fn(1, 0)
-        pk_a = pack5_np(enc[:, :cl])
-        if n_pad != n:
-            pk_a = np.concatenate(
-                [pk_a, np.zeros((n_pad - n, pk_a.shape[1]), dtype=np.uint8)]
+        for start in range(0, n, host_batch_reads):
+            in_flight.append(
+                (self.classify_submit(seqs[start : start + host_batch_reads]), start)
             )
-        dev_a = pool_put(pk_a)
-        dev_lens = pool_put(
-            np.concatenate([lens, np.zeros(n_pad - n, dtype=np.int32)])
-        )
-        futs_a = [fn_a(dev_a, dev_lens, start) for start in range(0, n_pad, B)]
-
-        # overlap_pool: speculatively pack + upload the phase-B candidate
-        # pool (chunks 1..C-1 of EVERY multi-chunk read) while the device
-        # chews on phase A — phase B then only uploads tiny row-index
-        # arrays and gathers its rows on device.  ~2.7x the minimal
-        # phase-B bytes, but fully overlapped with phase-A compute.
-        dev_ball = dev_lb_all = None
-        pool_words = 0
-        if self.overlap_pool and C > 1:
-            maybe_b = lens > cl
-            if maybe_b.any():
-                pk_all = pack5_np(enc[:, cl : cl * C])  # [n, ceil((C-1)*cl/3)]
-                pw = pk_all.shape[1]
-                pool_words = -(-pw // 4)
-                if pool_words * 4 != pw:
-                    pk_all = np.pad(pk_all, ((0, 0), (0, pool_words * 4 - pw)))
-                # '<u4' view pairs with the device's little-endian
-                # bitcast_convert_type split (fused.py) on any host
-                dev_ball = pool_put(pk_all.reshape(-1).view(np.dtype("<u4")))
-                dev_lb_all = pool_put(
-                    np.maximum(lens.astype(np.int32) - cl, 0)
-                )
-
-        outs_a = jax.device_get(futs_a)  # one batched D2H round trip
-        ok_a = np.concatenate([np.asarray(o[0]) for o in outs_a])[:n]
-        classified[:] = ok_a
-        best[:] = np.concatenate([np.asarray(o[1]) for o in outs_a])[:n]
-        attempts[:] = np.concatenate([np.asarray(o[2]) for o in outs_a])[:n]
-        pidx = np.nonzero(~ok_a & (lens > cl))[0]
-        if pidx.size == 0:
-            return classified, best, attempts
-
-        # --- phase B: remaining chunks of unresolved reads ------------------
-        plens = lens[pidx]
-        # bucket by chunks still to score (ceil(len/cl) - 1, capped at C-1)
-        n_rest = np.minimum(-(-plens // cl), C) - 1  # [U] in 1..C-1
-        futs_b = []
-        for c_rest in np.unique(n_rest):
-            c_rest = int(c_rest)
-            sel = np.nonzero(n_rest == c_rest)[0]
-            u = sel.size
-            u_pad = -(-u // B) * B
-            if dev_ball is not None:
-                fn_b = self._indexed_fn(c_rest, pool_words)
-                idx = np.zeros(u_pad, dtype=np.int32)
-                idx[:u] = pidx[sel]
-                dev_idx = pool_put(idx)
-                futs = [
-                    fn_b(dev_ball, dev_lb_all, dev_idx, s)
-                    for s in range(0, u_pad, B)
-                ]
-            else:
-                fn_b = self._fused_fn(c_rest, 1)
-                pk_b = pack5_np(
-                    np.ascontiguousarray(enc[pidx[sel], cl : cl * (1 + c_rest)])
-                )
-                if u_pad != u:
-                    pk_b = np.concatenate(
-                        [pk_b, np.zeros((u_pad - u, pk_b.shape[1]), dtype=np.uint8)]
-                    )
-                lb = np.zeros(u_pad, dtype=np.int32)
-                lb[:u] = plens[sel] - cl
-                dev_b = pool_put(pk_b)
-                dev_lb = pool_put(lb)
-                futs = [fn_b(dev_b, dev_lb, s) for s in range(0, u_pad, B)]
-            futs_b.append((pidx[sel], u, futs))
-        for out_idx, u, futs in futs_b:
-            outs_b = jax.device_get(futs)
-            ok = np.concatenate([np.asarray(o[0]) for o in outs_b])[:u]
-            bb = np.concatenate([np.asarray(o[1]) for o in outs_b])[:u]
-            att = np.concatenate([np.asarray(o[2]) for o in outs_b])[:u]
-            classified[out_idx] = ok
-            best[out_idx] = bb
-            attempts[out_idx] = att
+            while len(in_flight) > max(1, depth):
+                drain_one()
+        while in_flight:
+            drain_one()
         return classified, best, attempts
+
+    def probe_transfer_seconds(self, nbytes: int = 1 << 19) -> float:
+        """Measure one synced H2D put of ``nbytes`` (the transfer-mode
+        probe).  A D2H fetch of one element truly synchronizes on every
+        backend including the tunnel (docs/PERF_NOTES.md: block_until_
+        ready acks early there)."""
+        import time as _time
+
+        import jax
+
+        buf = np.zeros(nbytes, dtype=np.uint8)
+        t0 = _time.monotonic()
+        dev = jax.device_put(buf)
+        np.asarray(dev[:1])  # force completion
+        return _time.monotonic() - t0
 
     def classify_sequences_waves(self, seqs: list[str]):
         """Chunk-wave implementation (one device pass per wave).
@@ -394,6 +346,193 @@ class ClassifyEngine:
         return classified, best, attempts
 
 
+class _ClassifyJob:
+    """One submitted host batch: phase A in flight, phase B on finish().
+
+    Split out of classify_sequences so drivers can overlap the host side
+    (encode/pack/writes) and transfers of neighboring batches with
+    device compute — the engine's compute floor is otherwise hidden
+    behind serial uploads and D2H round trips (docs/PERF_NOTES.md).
+    """
+
+    def __init__(self, engine: ClassifyEngine, seqs: list[str]):
+        import jax
+
+        from readbouncer_tpu.classify.fused import pack5_np
+
+        self.engine = engine
+        self.n = n = len(seqs)
+        cl, C = engine.chunk_length, engine.max_chunks
+        L = cl * C
+        B = engine.batch_size
+        if n == 0:
+            return
+
+        # encode everything once on host; each phase ships ONE packed
+        # array (pack5_np) and batch programs slice rows on device —
+        # per-batch H2D pays a ~0.1-0.4 s tunnel round trip, a bulk put
+        # amortizes to streaming bandwidth (scripts/transfer_probe.py).
+        # Pools are FLAT and padded to power-of-two byte buckets so the
+        # program shape (and its minutes-long server-side compile) does
+        # not depend on the input count.
+        enc, lens = encode_batch(seqs, L)
+        self.enc, self.lens = enc, lens
+        n_pad = -(-n // B) * B
+        self.n_pad = n_pad
+
+        def pool_put(rows2d: np.ndarray):
+            flat = np.ascontiguousarray(rows2d).reshape(-1)
+            bucket = 1 << max(int(flat.size - 1).bit_length(), 12)
+            if bucket != flat.size:
+                flat = np.concatenate(
+                    [flat, np.zeros(bucket - flat.size, dtype=flat.dtype)]
+                )
+            return jax.device_put(flat)
+
+        self._pool_put = pool_put
+
+        # --- phase A: chunk 0 of every read ----------------------------
+        fn_a = engine._fused_fn(1, 0)
+        pk_a = pack5_np(enc[:, :cl])
+        if n_pad != n:
+            pk_a = np.concatenate(
+                [pk_a, np.zeros((n_pad - n, pk_a.shape[1]), dtype=np.uint8)]
+            )
+        dev_a = pool_put(pk_a)
+        dev_lens = pool_put(
+            np.concatenate([lens, np.zeros(n_pad - n, dtype=np.int32)])
+        )
+        self.futs_a = [fn_a(dev_a, dev_lens, start) for start in range(0, n_pad, B)]
+
+        # overlap_pool: speculatively pack + upload the phase-B candidate
+        # pool (chunks 1..C-1 of EVERY multi-chunk read) while the device
+        # chews on phase A — phase B then only uploads tiny row-index
+        # arrays and gathers its rows on device.  ~2.7x the minimal
+        # phase-B bytes, but fully overlapped with phase-A compute.
+        self.dev_ball = self.dev_lb_all = None
+        self.pool_words = 0
+        if engine.overlap_pool and C > 1 and bool((lens > cl).any()):
+            pk_all = pack5_np(enc[:, cl : cl * C])  # [n, ceil((C-1)*cl/3)]
+            pw = pk_all.shape[1]
+            self.pool_words = -(-pw // 4)
+            if self.pool_words * 4 != pw:
+                pk_all = np.pad(pk_all, ((0, 0), (0, self.pool_words * 4 - pw)))
+            # '<u4' view pairs with the device's little-endian
+            # bitcast_convert_type split (fused.py) on any host
+            self.dev_ball = pool_put(pk_all.reshape(-1).view(np.dtype("<u4")))
+            self.dev_lb_all = pool_put(np.maximum(lens.astype(np.int32) - cl, 0))
+
+    def finish(self):
+        """Collect phase A, dispatch + collect phase B; returns
+        (classified[N] bool, best_target[N] int, attempts[N] int)."""
+        import jax
+
+        from readbouncer_tpu.classify.fused import pack5_np
+
+        n = self.n
+        classified = np.zeros(n, dtype=bool)
+        best = np.full(n, -1, dtype=np.int64)
+        attempts = np.zeros(n, dtype=np.int64)
+        if n == 0:
+            return classified, best, attempts
+        engine = self.engine
+        cl, C = engine.chunk_length, engine.max_chunks
+        B = engine.batch_size
+        lens = self.lens
+
+        outs_a = jax.device_get(self.futs_a)  # one batched D2H round trip
+        ok_a = np.concatenate([np.asarray(o[0]) for o in outs_a])[:n]
+        classified[:] = ok_a
+        best[:] = np.concatenate([np.asarray(o[1]) for o in outs_a])[:n]
+        attempts[:] = np.concatenate([np.asarray(o[2]) for o in outs_a])[:n]
+        pidx = np.nonzero(~ok_a & (lens > cl))[0]
+        if pidx.size == 0:
+            return classified, best, attempts
+
+        # --- phase B: remaining chunks of unresolved reads --------------
+        plens = lens[pidx]
+        # bucket by chunks still to score (ceil(len/cl) - 1, capped at C-1)
+        n_rest = np.minimum(-(-plens // cl), C) - 1  # [U] in 1..C-1
+        futs_b = []
+        for c_rest in np.unique(n_rest):
+            c_rest = int(c_rest)
+            sel = np.nonzero(n_rest == c_rest)[0]
+            u = sel.size
+            u_pad = -(-u // B) * B
+            if self.dev_ball is not None:
+                fn_b = engine._indexed_fn(c_rest, self.pool_words)
+                idx = np.zeros(u_pad, dtype=np.int32)
+                idx[:u] = pidx[sel]
+                dev_idx = self._pool_put(idx)
+                futs = [
+                    fn_b(self.dev_ball, self.dev_lb_all, dev_idx, s)
+                    for s in range(0, u_pad, B)
+                ]
+            else:
+                fn_b = engine._fused_fn(c_rest, 1)
+                pk_b = pack5_np(
+                    np.ascontiguousarray(self.enc[pidx[sel], cl : cl * (1 + c_rest)])
+                )
+                if u_pad != u:
+                    pk_b = np.concatenate(
+                        [pk_b, np.zeros((u_pad - u, pk_b.shape[1]), dtype=np.uint8)]
+                    )
+                lb = np.zeros(u_pad, dtype=np.int32)
+                lb[:u] = plens[sel] - cl
+                dev_b = self._pool_put(pk_b)
+                dev_lb = self._pool_put(lb)
+                futs = [fn_b(dev_b, dev_lb, s) for s in range(0, u_pad, B)]
+            futs_b.append((pidx[sel], u, futs))
+        for out_idx, u, futs in futs_b:
+            outs_b = jax.device_get(futs)
+            ok = np.concatenate([np.asarray(o[0]) for o in outs_b])[:u]
+            bb = np.concatenate([np.asarray(o[1]) for o in outs_b])[:u]
+            att = np.concatenate([np.asarray(o[2]) for o in outs_b])[:u]
+            classified[out_idx] = ok
+            best[out_idx] = bb
+            attempts[out_idx] = att
+        return classified, best, attempts
+
+
+def choose_transfer_mode(
+    mode: str,
+    engine: ClassifyEngine,
+    *,
+    probe_bytes: int = 1 << 19,
+    congested_seconds: float = 0.08,
+    probe_fn=None,
+    logger=None,
+) -> bool:
+    """Resolve a ``transfer_mode`` config value to overlap_pool on/off.
+
+    ``serial``: pack phase-B inputs after phase A (minimal bytes, extra
+    serial stall) — right on a healthy link.  ``overlap``: speculatively
+    upload the full phase-B pool during phase-A compute (overlap_pool) —
+    right when transfers are slow (congested tunnel hours), at the cost
+    of one extra program compile.  ``auto``: one timed ~0.5 MB synced
+    H2D put decides (>= ``congested_seconds`` means congested; the
+    measured good/congested split is 27 ms vs 110-417 ms,
+    docs/PERF_NOTES.md).
+    """
+    mode = (mode or "serial").lower()
+    if mode not in ("serial", "overlap", "auto"):
+        raise ValueError(f"transfer_mode must be serial|overlap|auto, got {mode!r}")
+    if mode == "auto":
+        seconds = (
+            probe_fn(probe_bytes)
+            if probe_fn is not None
+            else engine.probe_transfer_seconds(probe_bytes)
+        )
+        decided = "overlap" if seconds >= congested_seconds else "serial"
+        if logger is not None:
+            logger.info(
+                "transfer_mode=auto: %.0f KB H2D probe took %.1f ms -> %s",
+                probe_bytes / 1024, seconds * 1e3, decided,
+            )
+        mode = decided
+    return mode == "overlap"
+
+
 def classify_read_files(
     read_files: list[str | Path],
     target_filters: list[IBFData],
@@ -408,6 +547,8 @@ def classify_read_files(
     verbose: bool = True,
     shard: tuple[int, int] = (0, 1),
     output_suffix: str = "",
+    transfer_mode: str = "serial",
+    pipeline_depth: int = 2,
 ) -> ClassifyResults:
     """Drive classification over read files, writing per-target FASTAs and
     unclassified.fasta (reference: classify_reads, src/main/classify.hpp:142-380).
@@ -417,7 +558,20 @@ def classify_read_files(
     counters then cover this shard only (aggregate across hosts with
     aggregate_counters).  ``output_suffix`` keeps per-host FASTA outputs
     from colliding on a shared filesystem.
+
+    ``transfer_mode``: "serial" | "overlap" | "auto" — whether phase-B
+    inputs are packed after phase A or speculatively uploaded during it
+    (see choose_transfer_mode); "auto" decides from a 1-put probe.
+
+    ``pipeline_depth``: host batches in flight.  At depth >= 2 the
+    driver submits batch i+1 (native encode + pack + H2D + async phase-A
+    dispatch) and writes batch i-1's FASTAs while the device computes
+    batch i — the transfers/host work that a serial loop serializes
+    with compute (docs/PERF_NOTES.md stage budget).  Depth 1 restores
+    the strictly serial behavior.
     """
+    from readbouncer_tpu.utils.logging import get_logger
+
     engine = ClassifyEngine(
         target_filters,
         deplete_filters,
@@ -426,6 +580,9 @@ def classify_read_files(
         chunk_length,
         max_chunks,
         batch_size,
+    )
+    engine.overlap_pool = choose_transfer_mode(
+        transfer_mode, engine, logger=get_logger("ClassifyLog")
     )
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -438,39 +595,45 @@ def classify_read_files(
     ]
     unclassified = FastaWriter(output_dir / f"unclassified{output_suffix}.fasta")
     t_start = time.monotonic()
+    # a still-unclassified read FAILS once its chunk loop reaches a
+    # fragment shorter than the k-mer size (every classify overload
+    # throws ShortReadException there and the driver counts the read
+    # failed and drops it from every output, incl. unclassified.fasta;
+    # reference: src/IBF/IBFClassify.cpp:218-225,290-294 via
+    # src/main/classify.hpp:300-310).  Chunk lengths decrease, so the
+    # loop hits a short fragment iff the last attempted chunk is
+    # short: len < (max_chunks-1)*chunk_length + k.
+    fail_below = (max_chunks - 1) * chunk_length + engine.kmer_size
+    depth = max(1, pipeline_depth)
+    from collections import deque
+
+    in_flight: deque = deque()  # (job, ids, seqs)
+
+    def write_outputs(job, ids, seqs):
+        classified, best, _ = job.finish()
+        for j in range(len(seqs)):
+            if classified[j]:
+                results.found += 1
+                if best[j] >= 0:
+                    name = engine.target_names[best[j]]
+                    results.per_target[name] += 1
+                    target_writers[best[j]].write(ids[j], seqs[j])
+            elif len(seqs[j]) < fail_below:
+                results.failed += 1
+            else:
+                unclassified.write(ids[j], seqs[j])
+
+    def submit(ids, seqs):
+        if not seqs:
+            return
+        in_flight.append((engine.classify_submit(seqs), ids, seqs))
+        while len(in_flight) >= depth + 1:
+            write_outputs(*in_flight.popleft())
+
     try:
         for read_file in read_files:
             ids: list[str] = []
             seqs: list[str] = []
-
-            # a still-unclassified read FAILS once its chunk loop reaches a
-            # fragment shorter than the k-mer size (every classify overload
-            # throws ShortReadException there and the driver counts the read
-            # failed and drops it from every output, incl. unclassified.fasta;
-            # reference: src/IBF/IBFClassify.cpp:218-225,290-294 via
-            # src/main/classify.hpp:300-310).  Chunk lengths decrease, so the
-            # loop hits a short fragment iff the last attempted chunk is
-            # short: len < (max_chunks-1)*chunk_length + k.
-            fail_below = (engine.max_chunks - 1) * chunk_length + engine.kmer_size
-
-            def flush():
-                if not seqs:
-                    return
-                classified, best, _ = engine.classify_sequences(seqs)
-                for j in range(len(seqs)):
-                    if classified[j]:
-                        results.found += 1
-                        if best[j] >= 0:
-                            name = engine.target_names[best[j]]
-                            results.per_target[name] += 1
-                            target_writers[best[j]].write(ids[j], seqs[j])
-                    elif len(seqs[j]) < fail_below:
-                        results.failed += 1
-                    else:
-                        unclassified.write(ids[j], seqs[j])
-                ids.clear()
-                seqs.clear()
-
             shard_i, shard_n = shard
             for rec_idx, rec in enumerate(read_records(read_file)):
                 if shard_n > 1 and rec_idx % shard_n != shard_i:
@@ -482,8 +645,11 @@ def classify_read_files(
                 ids.append(rec.id)
                 seqs.append(rec.seq)
                 if len(seqs) >= host_batch_reads:
-                    flush()
-            flush()
+                    submit(ids, seqs)
+                    ids, seqs = [], []
+            submit(ids, seqs)
+        while in_flight:
+            write_outputs(*in_flight.popleft())
     finally:
         for w in target_writers:
             w.close()

@@ -77,6 +77,15 @@ class TPUParams:
     significance: float = 0.95
     hash_functions: int = 3
     max_fp: float = 0.01
+    # classify-driver transfer strategy: "serial" packs phase-B inputs
+    # after phase A; "overlap" speculatively uploads the full phase-B
+    # pool during phase-A compute (congested-link mode, one extra
+    # program compile); "auto" decides from a timed 1-put probe
+    # (classify.engine.choose_transfer_mode)
+    transfer_mode: str = "serial"
+    # host batches in flight in classify (2 = double-buffered: encode/
+    # upload of batch i+1 and writes of batch i-1 overlap device compute)
+    pipeline_depth: int = 2
     break_reads_after_seconds: float = 0.4
     action_pacing_seconds: float = 0.4
     unblock_duration: float = 0.1

@@ -142,6 +142,8 @@ def run_classify(config: ConfigReader, verbose: bool) -> int:
         verbose=(n_proc == 1),
         shard=(idx, n_proc),
         output_suffix=f".h{idx}" if n_proc > 1 else "",
+        transfer_mode=config.tpu.transfer_mode,
+        pipeline_depth=config.tpu.pipeline_depth,
     )
     if n_proc > 1:
         # process-0 report over the summed per-host shard counters

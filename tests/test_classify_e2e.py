@@ -148,3 +148,70 @@ def test_report_format(world, tmp_path):
     text = res.report(250)
     assert "Final Results" in text
     assert "Number of classified reads                         :   2" in text
+
+
+def test_pipelined_driver_matches_serial(world, tmp_path):
+    """pipeline_depth>=2 + overlap transfer mode classify identically to
+    the strictly serial driver (multiple in-flight host batches)."""
+    tmp, rng, refs, filters = world
+    reads = (
+        _reads_from(rng, refs["targetA"], 7, 400, "a")
+        + _reads_from(rng, refs["targetB"], 6, 700, "b")
+        + _reads_from(rng, refs["host"], 5, 400, "h")
+        + [(f"rand_{i}", _rand_seq(rng, 600)) for i in range(6)]
+    )
+    rng.shuffle(reads)
+    read_file = _fasta(tmp_path / "reads.fasta", reads)
+    kw = dict(
+        target_filters=[filters["targetA"], filters["targetB"]],
+        deplete_filters=[filters["host"]],
+        error_rate=0.1,
+        verbose=False,
+        batch_size=8,
+        host_batch_reads=5,  # force ~5 host batches in flight
+    )
+    r_serial = classify_read_files(
+        [read_file], output_dir=tmp_path / "serial", pipeline_depth=1,
+        transfer_mode="serial", **kw,
+    )
+    r_pipe = classify_read_files(
+        [read_file], output_dir=tmp_path / "pipe", pipeline_depth=3,
+        transfer_mode="overlap", **kw,
+    )
+    assert (r_pipe.found, r_pipe.failed, r_pipe.too_short, r_pipe.read_counter) == (
+        r_serial.found, r_serial.failed, r_serial.too_short, r_serial.read_counter
+    )
+    assert r_pipe.per_target == r_serial.per_target
+    for stem in ("targetA", "targetB", "unclassified"):
+        a = (tmp_path / "serial" / f"{stem}.fasta").read_text()
+        b = (tmp_path / "pipe" / f"{stem}.fasta").read_text()
+        assert a == b, f"{stem} outputs diverge"
+
+
+def test_choose_transfer_mode_auto_probe(world, caplog):
+    """auto mode decides from the timed H2D probe and logs the decision
+    (the congested-tunnel fallback knob)."""
+    import logging
+
+    from readbouncer_tpu.classify.engine import ClassifyEngine, choose_transfer_mode
+
+    tmp, rng, refs, filters = world
+    engine = ClassifyEngine([filters["targetA"]], [], 0.1, batch_size=8)
+    log = logging.getLogger("test-transfer")
+    with caplog.at_level(logging.INFO, logger="test-transfer"):
+        slow = choose_transfer_mode(
+            "auto", engine, probe_fn=lambda nb: 0.4, logger=log
+        )
+        fast = choose_transfer_mode(
+            "auto", engine, probe_fn=lambda nb: 0.02, logger=log
+        )
+    assert slow is True and fast is False
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("-> overlap" in m for m in msgs)
+    assert any("-> serial" in m for m in msgs)
+    assert choose_transfer_mode("overlap", engine) is True
+    assert choose_transfer_mode("serial", engine) is False
+    with pytest.raises(ValueError):
+        choose_transfer_mode("bogus", engine)
+    # the real probe path runs and returns a sane duration
+    assert 0.0 <= engine.probe_transfer_seconds(1 << 14) < 60.0

@@ -210,3 +210,18 @@ def test_classify_sequences_empty(filters):
     e = ClassifyEngine(tf, df, error_rate=0.1, chunk_length=250, max_chunks=3, batch_size=8)
     c, b, a = e.classify_sequences([])
     assert c.shape == (0,) and b.shape == (0,) and a.shape == (0,)
+
+
+def test_pipelined_sequences_match_serial(filters):
+    """classify_sequences_pipelined (depth-2 submit/finish pipeline) must
+    equal classify_sequences exactly for any host-batch split."""
+    genomes, tf, df = filters
+    rng = np.random.default_rng(31)
+    seqs = _mixed_reads(genomes, rng, n=40, length=600)
+    e = ClassifyEngine(tf, df, error_rate=0.1, chunk_length=250, max_chunks=3, batch_size=8)
+    c0, b0, a0 = e.classify_sequences(seqs)
+    for hb, depth in ((7, 2), (16, 3), (40, 1)):
+        c, b, a = e.classify_sequences_pipelined(seqs, host_batch_reads=hb, depth=depth)
+        np.testing.assert_array_equal(c, c0)
+        np.testing.assert_array_equal(b, b0)
+        np.testing.assert_array_equal(a, a0)
