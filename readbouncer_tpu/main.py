@@ -228,12 +228,17 @@ def run_target(config: ConfigReader, verbose: bool) -> int:
         basecaller = NearestLevelBasecaller()
     else:
         # "DeepNano" (and any GPU-server caller name) maps to the on-chip
-        # GRU — the JAX GRU *is* the native basecaller (SURVEY.md §2.1)
+        # GRU — the JAX GRU *is* the native basecaller (SURVEY.md §2.1).
+        # max_frames sized for one 0.4 s chunk window (padded x64): the
+        # live loop basecalls per-chunk signals, never whole reads
+        chunk_samples = int(4000 * config.tpu.break_reads_after_seconds)
+        frames = (max(chunk_samples, 66) - 66) // 5 + 1
         from readbouncer_tpu.models.basecaller import GRUBasecaller
 
         basecaller = GRUBasecaller(
             network=config.basecaller.network,
             weights_dir=config.basecaller.weights_dir,
+            max_frames=-(-frames // 64) * 64,
         )
     cfg = LiveConfig(
         error_rate=config.ibf.error_rate,

@@ -91,7 +91,11 @@ class GRUBasecaller(Basecaller):
             return []
         framed = [self.frames_for(s) for s in signals]
         T = self.max_frames
-        B = len(framed)
+        # pad the batch to a power-of-two bucket (floor 32): the jitted
+        # forward compiles per (B, T) shape and live ticks carry a
+        # different chunk count every tick — unbucketed batches would
+        # recompile server-side mid-run (minutes each on the tunnel)
+        B = max(32, 1 << (len(framed) - 1).bit_length())
         batch = np.zeros((B, T, self.model.window), dtype=np.float32)
         lens = np.zeros(B, dtype=np.int32)
         w, st = self.model.window, self.frame_stride
@@ -112,12 +116,13 @@ class GRUBasecaller(Basecaller):
                 "use on full-length reads",
                 stacklevel=2,
             )
-        logits = np.asarray(self.model.logits(batch))
+        n = len(framed)
+        logits = np.asarray(self.model.logits(batch))[:n]
         if self.decoder == "beam":
             return [
                 beam_search_decode(
                     logits[i], self.beam_size, self.beam_cut_threshold, int(lens[i])
                 )
-                for i in range(B)
+                for i in range(n)
             ]
-        return greedy_decode(logits, lens)
+        return greedy_decode(logits, lens[:n])

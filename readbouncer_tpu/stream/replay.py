@@ -49,12 +49,38 @@ def sequence_to_signal(
     samples_per_base: int = 9,
     noise: float = 2.0,
     rng: np.random.Generator | None = None,
+    dwell_jitter: int = 0,
+    drift: float = 0.0,
 ) -> np.ndarray:
-    """Simple squiggle synthesis: per-base level + Gaussian noise."""
+    """Squiggle synthesis: per-base level + Gaussian noise, optionally
+    with nanopore-like timing/baseline imperfections.
+
+    ``dwell_jitter=j``: each base dwells a uniform-random
+    ``samples_per_base ± j`` samples (min 1) instead of exactly
+    ``samples_per_base`` — real pores translocate at ~7-12 samples/base
+    around the nominal rate.  ``drift``: slow baseline wander as a
+    Gaussian random walk of the given per-sample sigma (pA) added on
+    top — the low-frequency level drift med/MAD normalization must
+    absorb.  Defaults keep the clean round-1..3 model (bit-identical
+    output for the same rng stream).
+    """
     rng = rng or np.random.default_rng(0)
     levels = np.array([_BASE_LEVELS.get(c, 100.0) for c in seq], dtype=np.float32)
-    sig = np.repeat(levels, samples_per_base)
-    return sig + rng.normal(0.0, noise, sig.shape[0]).astype(np.float32)
+    if dwell_jitter > 0:
+        dwells = rng.integers(
+            max(1, samples_per_base - dwell_jitter),
+            samples_per_base + dwell_jitter + 1,
+            size=levels.shape[0],
+        )
+        sig = np.repeat(levels, dwells)
+    else:
+        sig = np.repeat(levels, samples_per_base)
+    sig = sig + rng.normal(0.0, noise, sig.shape[0]).astype(np.float32)
+    if drift > 0.0:
+        sig = sig + np.cumsum(
+            rng.normal(0.0, drift, sig.shape[0])
+        ).astype(np.float32)
+    return sig.astype(np.float32)
 
 
 class NearestLevelBasecaller:
@@ -154,13 +180,18 @@ class ReplaySource:
         samples_per_base: int = 9,
         noise: float = 2.0,
         seed: int = 0,
+        dwell_jitter: int = 0,
+        drift: float = 0.0,
         **kw,
     ) -> "ReplaySource":
         rng = np.random.default_rng(seed)
         reads = [
             ReplayRead(
                 read_id=rec.id,
-                signal=sequence_to_signal(rec.seq, samples_per_base, noise, rng),
+                signal=sequence_to_signal(
+                    rec.seq, samples_per_base, noise, rng,
+                    dwell_jitter=dwell_jitter, drift=drift,
+                ),
                 true_seq=rec.seq,
             )
             for p in paths

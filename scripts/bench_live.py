@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--caller", default="oracle")
     ap.add_argument("--ticks", type=int, default=0, help="0 = run to completion")
     ap.add_argument("--batch", type=int, default=512)
+    # frames per 0.4 s chunk: (1600 - 66)//5 + 1 = 307, padded to a
+    # multiple of 64 — the default 2048 would pad every tick 6.7x
+    ap.add_argument("--max-frames", type=int, default=320)
     args = ap.parse_args()
 
     from bench import get_filters, reads_from
@@ -75,7 +78,7 @@ def main():
     else:
         from readbouncer_tpu.models.basecaller import GRUBasecaller
 
-        basecaller = GRUBasecaller(network=args.caller)
+        basecaller = GRUBasecaller(network=args.caller, max_frames=args.max_frames)
     import tempfile
 
     with tempfile.TemporaryDirectory() as td:
@@ -92,6 +95,15 @@ def main():
         t0 = time.monotonic()
         sampler.classifier.decide(["ACGT" * 100, "ACGT" * 500])
         print(f"# classifier warmup (compiles): {time.monotonic()-t0:.1f}s", flush=True)
+        if args.caller != "oracle":
+            # warm every power-of-two GRU batch bucket the run will hit
+            # (tick chunk counts shrink as channels drain)
+            t0 = time.monotonic()
+            b = 32
+            while b <= max(32, args.channels):
+                basecaller.basecall([np.zeros(1600, np.float32)] * b)
+                b *= 2
+            print(f"# basecaller warmup (compiles): {time.monotonic()-t0:.1f}s", flush=True)
         t0 = time.monotonic()
         sampler.step()
         print(f"# first tick: {time.monotonic()-t0:.1f}s", flush=True)

@@ -43,9 +43,22 @@ SAMPLES_PER_BASE = 9
 NOISE = 2.0
 
 
-def make_batch(rng: np.random.Generator, batch: int, bases: int):
-    """(frames, frame_lens, labels, label_lens, seqs) at fixed shapes."""
-    t_max = (bases * SAMPLES_PER_BASE - WINDOW) // STRIDE + 1
+def make_batch(
+    rng: np.random.Generator,
+    batch: int,
+    bases: int,
+    jitter: int = 0,
+    drift: float = 0.0,
+    noise: float = NOISE,
+):
+    """(frames, frame_lens, labels, label_lens, seqs) at fixed shapes.
+
+    ``jitter``/``drift`` pass through to sequence_to_signal — training
+    under dwell-time jitter + baseline wander hardens the net toward
+    nanopore reality (VERDICT r3 #5).  t_max is sized for the LONGEST
+    possible jittered read so frames never truncate.
+    """
+    t_max = (bases * (SAMPLES_PER_BASE + jitter) - WINDOW) // STRIDE + 1
     frames = np.zeros((batch, t_max, WINDOW), dtype=np.float32)
     frame_lens = np.zeros(batch, dtype=np.int32)
     labels = np.zeros((batch, bases), dtype=np.int32)
@@ -55,7 +68,9 @@ def make_batch(rng: np.random.Generator, batch: int, bases: int):
         n = int(rng.integers(bases // 2, bases + 1))
         ids = rng.integers(0, 4, n)
         seq = "".join("ACGT"[j] for j in ids)
-        sig = sequence_to_signal(seq, SAMPLES_PER_BASE, NOISE, rng)
+        sig = sequence_to_signal(
+            seq, SAMPLES_PER_BASE, noise, rng, dwell_jitter=jitter, drift=drift
+        )
         f = frame_signal(med_mad_normalize(sig), WINDOW, STRIDE, max_frames=t_max)
         frames[i, : f.shape[0]] = f
         frame_lens[i] = f.shape[0]
@@ -65,8 +80,10 @@ def make_batch(rng: np.random.Generator, batch: int, bases: int):
     return frames, frame_lens, labels, label_lens, seqs
 
 
-def evaluate(params, rng, batch=32, bases=360):
-    frames, frame_lens, labels, label_lens, seqs = make_batch(rng, batch, bases)
+def evaluate(params, rng, batch=32, bases=360, jitter=0, drift=0.0, noise=NOISE):
+    frames, frame_lens, labels, label_lens, seqs = make_batch(
+        rng, batch, bases, jitter=jitter, drift=drift, noise=noise
+    )
     logits = np.asarray(jax.jit(gru_logits)(params, frames))
     calls = greedy_decode(logits, frame_lens)
     return batch_identity(seqs, calls), calls[0][:60], seqs[0][:60]
@@ -79,12 +96,25 @@ def main():
     ap.add_argument("--bases", type=int, default=160)
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--target", type=float, default=0.97)
+    ap.add_argument("--jitter", type=int, default=0,
+                    help="dwell-time jitter +-samples/base during training")
+    ap.add_argument("--drift", type=float, default=0.0,
+                    help="baseline random-walk sigma (pA/sample)")
+    ap.add_argument("--noise", type=float, default=NOISE)
+    ap.add_argument("--init", default="",
+                    help="warm-start from an existing params .npz (fine-tune)")
     ap.add_argument("--out", default=str(Path(__file__).resolve().parent.parent / "data" / "gru_synth48.npz"))
     args = ap.parse_args()
 
     rng = np.random.default_rng(1234)
     eval_rng = np.random.default_rng(999)
-    params = init_gru_params(jax.random.PRNGKey(0))
+    if args.init:
+        from readbouncer_tpu.models.weights import load_params_npz
+
+        params = load_params_npz(args.init)
+        print(f"fine-tuning from {args.init}", flush=True)
+    else:
+        params = init_gru_params(jax.random.PRNGKey(0))
     sched = optax.cosine_decay_schedule(args.lr, args.steps, alpha=0.05)
     optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
     opt_state = optimizer.init(params)
@@ -95,12 +125,24 @@ def main():
     t0 = time.time()
     best = 0.0
     for step in range(1, args.steps + 1):
-        batch = make_batch(rng, args.batch, args.bases)[:4]
+        batch = make_batch(
+            rng, args.batch, args.bases,
+            jitter=args.jitter, drift=args.drift, noise=args.noise,
+        )[:4]
         params, opt_state, loss = step_fn(params, opt_state, batch)
         if step % 200 == 0 or step == args.steps:
             host = jax.tree.map(np.asarray, params)
-            ident, call0, true0 = evaluate(host, np.random.default_rng(999))
-            print(f"step {step}: loss={float(loss):.4f} eval_identity={ident:.4f} "
+            # score on BOTH the clean and the hardened pore model: the
+            # shipped net must stay >= target on each
+            ident_c, call0, true0 = evaluate(host, np.random.default_rng(999))
+            ident_j, _, _ = evaluate(
+                host, np.random.default_rng(998),
+                jitter=max(args.jitter, 2), drift=max(args.drift, 0.05),
+                noise=args.noise,
+            )
+            ident = min(ident_c, ident_j) if args.jitter else ident_c
+            print(f"step {step}: loss={float(loss):.4f} eval_identity="
+                  f"clean {ident_c:.4f} / jittered {ident_j:.4f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
             print(f"  true: {true0}\n  call: {call0}", flush=True)
             if ident > best:
