@@ -191,12 +191,6 @@ class ClassifyEngine:
             self._fused_cache[key] = fn
         return fn
 
-    def _stack_counts(self, stack: FilterStack, frags, lens, retry: bool):
-        counts = stack.counts(frags, lens)
-        rate = self.error_rate - 0.02 if retry else self.error_rate
-        thr = ci_and_threshold_batch(lens, stack.kmer_size, rate, self.significance)
-        return np.asarray(stack.max_counts(counts, thr))
-
     def classify_fragments(self, frags: np.ndarray, lens: np.ndarray):
         """One wave: decisions for a batch of chunk fragments.
 

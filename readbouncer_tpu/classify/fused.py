@@ -142,7 +142,38 @@ def _stack_dual_max(stack: FilterStack, bits, frags, lens, tab_base, tab_retry):
     large constants get a compiler-chosen padded layout that demotes the
     Bloom-row gather from VMEM-resident (~0.2 ms) to HBM random access
     (~100 ms per batch on v5e) — see docs/PERF_NOTES.md.
+
+    On TPU the expansion + two threshold passes fuse into ONE Pallas
+    reduction straight off the bit planes (planes_dual_max_pallas):
+    expand_planes + 2x _max_counts_impl cost two full HBM passes over
+    the 32x expanded counts tensor (~16 ms per 2048-chunk batch,
+    docs/PERF_NOTES.md round-4); the fused reducer keeps counts in
+    VMEM and writes only [R, F].
     """
+    thr_b = jnp.take(tab_base, lens)
+    thr_r = jnp.take(tab_retry, lens)
+    R = frags.shape[0]
+    rb = min(128, R)
+    if jax.default_backend() != "cpu" and R % rb == 0:
+        from readbouncer_tpu.ibf.query import counts_planes_pallas
+        from readbouncer_tpu.ops.ibf_count_pallas import (
+            pack_bin_mask,
+            planes_dual_max_pallas,
+        )
+
+        planes = counts_planes_pallas(
+            bits,
+            frags,
+            lens,
+            k=stack.kmer_size,
+            h=stack.hash_functions,
+            rows=stack.rows,
+            scheme=stack.scheme,
+        )
+        mask_words = jnp.asarray(pack_bin_mask(np.asarray(stack.bin_mask)))
+        return planes_dual_max_pallas(
+            planes, thr_b, thr_r, mask_words, stack._seg_spec, read_block=rb
+        )
     counts = _counts_impl(
         bits,
         frags,
@@ -152,8 +183,6 @@ def _stack_dual_max(stack: FilterStack, bits, frags, lens, tab_base, tab_retry):
         rows=stack.rows,
         scheme=stack.scheme,
     )
-    thr_b = jnp.take(tab_base, lens)
-    thr_r = jnp.take(tab_retry, lens)
     mb = _max_counts_impl(counts, thr_b, stack.bin_mask, segments=stack._seg_spec)
     mr = _max_counts_impl(counts, thr_r, stack.bin_mask, segments=stack._seg_spec)
     return mb, mr

@@ -390,6 +390,40 @@ def _counts_pallas(
     R, L = reads.shape
     W = bits.shape[-1]
     n = L - k + 1
+    anded = _anded_windows(bits, reads, lengths, k=k, h=h, rows=rows, scheme=scheme)
+
+    # pad windows to a power-of-two block; the planes kernel consumes the
+    # gather's natural [read-strand, window, word] layout (no transpose)
+    from readbouncer_tpu.ops.ibf_count_pallas import (
+        accumulate_planes_pallas,
+        expand_planes,
+    )
+
+    n_pad = -(-n // 128) * 128 if n > 128 else (1 << max(n - 1, 1).bit_length())
+    R2 = 2 * R
+    a = anded.reshape(R2, n, W)
+    if n_pad != n:
+        a = jnp.pad(a, ((0, 0), (0, n_pad - n), (0, 0)))
+    n_planes = max(int(n).bit_length(), 1)
+    planes = accumulate_planes_pallas(a, n_planes, interpret=interpret)
+    counts = expand_planes(planes)  # [R2, W*32] i32
+    return counts.reshape(R, 2, W * 32)
+
+
+def _anded_windows(
+    bits: jnp.ndarray,
+    reads: jnp.ndarray,
+    lengths: jnp.ndarray,
+    *,
+    k: int,
+    h: int,
+    rows: int,
+    scheme: str,
+) -> jnp.ndarray:
+    """Window-masked AND-of-h-hashes membership words [R, 2, n, W]."""
+    R, L = reads.shape
+    W = bits.shape[-1]
+    n = L - k + 1
     codes = kmer_codes_jnp(reads, k)  # [R, 2, n]
     n_valid = jnp.maximum(lengths - (k - 1), 0)  # [R]
 
@@ -427,24 +461,40 @@ def _counts_pallas(
             )
             anded = g if anded is None else (anded & g)
     valid = jnp.arange(n, dtype=jnp.int32)[None, :] < n_valid[:, None]  # [R, n]
-    anded = jnp.where(valid[:, None, :, None], anded, jnp.uint32(0))
+    return jnp.where(valid[:, None, :, None], anded, jnp.uint32(0))
 
-    # pad windows to a power-of-two block; the planes kernel consumes the
-    # gather's natural [read-strand, window, word] layout (no transpose)
-    from readbouncer_tpu.ops.ibf_count_pallas import (
-        accumulate_planes_pallas,
-        expand_planes,
-    )
+
+def counts_planes_pallas(
+    bits: jnp.ndarray,
+    reads: jnp.ndarray,
+    lengths: jnp.ndarray,
+    *,
+    k: int,
+    h: int,
+    rows: int,
+    scheme: str = "rbt1",
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Packed bit-plane counters [R2, n_planes, W] WITHOUT the integer
+    expansion — the producer half of _counts_pallas, for consumers that
+    reduce planes directly (ops.ibf_count_pallas.planes_dual_max_pallas
+    — fusing expansion into the reduction deletes two full HBM passes
+    over the 32x expanded counts tensor)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    R, L = reads.shape
+    W = bits.shape[-1]
+    n = L - k + 1
+    anded = _anded_windows(bits, reads, lengths, k=k, h=h, rows=rows, scheme=scheme)
+
+    from readbouncer_tpu.ops.ibf_count_pallas import accumulate_planes_pallas
 
     n_pad = -(-n // 128) * 128 if n > 128 else (1 << max(n - 1, 1).bit_length())
-    R2 = 2 * R
-    a = anded.reshape(R2, n, W)
+    a = anded.reshape(2 * R, n, W)
     if n_pad != n:
         a = jnp.pad(a, ((0, 0), (0, n_pad - n), (0, 0)))
     n_planes = max(int(n).bit_length(), 1)
-    planes = accumulate_planes_pallas(a, n_planes, interpret=interpret)
-    counts = expand_planes(planes)  # [R2, W*32] i32
-    return counts.reshape(R, 2, W * 32)
+    return accumulate_planes_pallas(a, n_planes, interpret=interpret)
 
 
 def _max_counts_impl(

@@ -46,7 +46,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["accumulate_counts_pallas", "accumulate_planes_pallas", "WORD_BLOCK"]
+__all__ = [
+    "accumulate_counts_pallas",
+    "accumulate_planes_pallas",
+    "planes_dual_max_pallas",
+    "pack_bin_mask",
+    "WORD_BLOCK",
+]
 
 WORD_BLOCK = 8  # W words per VMEM tile (out tile [8, 32, r2b])
 _WCB = 128  # windows per VMEM tile
@@ -189,6 +195,132 @@ def expand_planes(planes: jnp.ndarray) -> jnp.ndarray:
         bit = (planes[:, j, :, None] >> shifts) & jnp.uint32(1)
         counts = counts + (bit.astype(jnp.int32) << j)
     return counts.reshape(R2, W * 32)
+
+
+def _dual_max_kernel(
+    P: int,
+    seg_words: tuple,
+    planes_ref,
+    thr_b_ref,
+    thr_r_ref,
+    mask_ref,
+    mb_ref,
+    mr_ref,
+):
+    """Fused plane-expansion + dual-threshold segment max.
+
+    planes_ref [2*rb, P, W] u32 — bit-plane counters (32 bins/lane)
+    thr_*_ref  [rb, 1] i32      — per-read effective thresholds
+    mask_ref   [1, W] u32       — declared-bin mask, bit p of word w =
+                                  bin w*32+p is scannable
+    mb/mr_ref  [rb, F] i32      — per-filter max matched counts at the
+                                  base / retry thresholds
+    """
+    rb = thr_b_ref.shape[0]
+    W = planes_ref.shape[-1]
+    x = planes_ref[...].reshape(rb, 2, P, W)
+    shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 32, 1), 2)
+    cnt = jnp.zeros((rb, 2, 32, W), jnp.int32)
+    for j in range(P):
+        xj = jnp.expand_dims(x[:, :, j, :], 2)  # [rb, 2, 1, W]
+        bits = (xj >> shifts) & jnp.uint32(1)
+        cnt = cnt + (bits.astype(jnp.int32) << j)
+    f = cnt[:, 0]  # [rb, 32, W]
+    r = cnt[:, 1]
+    mx = jnp.maximum(f, r)
+    mwords = mask_ref[...]  # [1, W]
+    mbit = ((mwords[:, None, :] >> shifts[0]) & jnp.uint32(1)) != 0  # [1,32,W]
+    for thr_ref, out_ref in ((thr_b_ref, mb_ref), (thr_r_ref, mr_ref)):
+        t = thr_ref[...][:, :, None]  # [rb, 1, 1]
+        matched = ((f >= t) | (r >= t)) & mbit
+        cand = jnp.where(matched, mx, 0)
+        # all-rank>=2 reduction (rank-1 values crash Mosaic layouts):
+        # max over words -> [rb, 32], then over bit lanes -> [rb, 1]
+        cols = [
+            jnp.max(
+                jnp.max(cand[:, :, w0 : w0 + nw], axis=2), axis=1, keepdims=True
+            )
+            for (w0, nw) in seg_words
+        ]
+        out_ref[...] = jnp.concatenate(cols, axis=1)
+
+
+def planes_dual_max_pallas(
+    planes: jnp.ndarray,  # [R2, P, W] u32 (R2 = 2R, strand-major pairs)
+    thr_b: jnp.ndarray,  # [R] int/uint — base-threshold per read
+    thr_r: jnp.ndarray,  # [R] — retry threshold (error_rate - 0.02)
+    mask_words: jnp.ndarray,  # [W] u32 packed declared-bin mask
+    segments: tuple,  # ((bin_offset, padded_bins), ...) — 64-multiples
+    *,
+    interpret: bool = False,
+    read_block: int = 128,
+):
+    """Per-filter max matched counts at two thresholds, straight from
+    bit planes — the fused replacement for expand_planes + two
+    _max_counts_impl passes (each a full HBM pass over the 32x larger
+    expanded counts tensor; measured 7.3 ms per 2048-chunk batch on v5e
+    vs ~1 ms for this kernel — docs/PERF_NOTES.md round-4).
+
+    Semantics are exactly ibf.query._max_counts_impl for both
+    thresholds: a bin matches when fwd OR rc count reaches the
+    threshold; its candidate value is max(fwd, rc); the per-filter
+    result is the max candidate over the filter's declared bins.
+    Returns (mb [R, F] i32, mr [R, F] i32).
+    """
+    R2, P, W = planes.shape
+    R = R2 // 2
+    rb = min(read_block, R)
+    if R % rb:
+        raise ValueError(f"R={R} not a multiple of read block {rb}")
+    seg_words = []
+    for off, padded in segments:
+        if off % 32 or padded % 32:
+            raise ValueError(f"segment ({off}, {padded}) not word-aligned")
+        seg_words.append((off // 32, padded // 32))
+    F = len(seg_words)
+    kernel = functools.partial(_dual_max_kernel, P, tuple(seg_words))
+    grid = (R // rb,)
+    out_spec = pl.BlockSpec((rb, F), lambda i: (i, 0))
+    mb, mr = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((2 * rb, P, W), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rb, 1), lambda i: (i, 0)),
+            pl.BlockSpec((rb, 1), lambda i: (i, 0)),
+            pl.BlockSpec((1, W), lambda i: (0, 0)),
+        ],
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, F), jnp.int32),
+            jax.ShapeDtypeStruct((R, F), jnp.int32),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+    )(
+        planes,
+        thr_b.astype(jnp.int32).reshape(R, 1),
+        thr_r.astype(jnp.int32).reshape(R, 1),
+        mask_words.reshape(1, W),
+    )
+    return mb, mr
+
+
+def pack_bin_mask(bin_mask: "object") -> "object":
+    """bool [B] declared-bin mask -> u32 [B//32] packed words (bit p of
+    word w = bin w*32 + p), the mask_words operand of
+    planes_dual_max_pallas."""
+    import numpy as np
+
+    m = np.asarray(bin_mask, dtype=bool)
+    B = m.shape[0]
+    assert B % 32 == 0, B
+    bits = m.reshape(B // 32, 32).astype(np.uint32)
+    return (bits << np.arange(32, dtype=np.uint32)[None, :]).sum(
+        axis=1, dtype=np.uint32
+    )
 
 
 def accumulate_counts_pallas(a_t: jnp.ndarray, *, interpret: bool = False):

@@ -276,3 +276,57 @@ def test_accumulate_planes_pallas_odd_r2():
     bits = (a[:, :, :, None] >> np.arange(32, dtype=np.uint32)) & 1
     expect = bits.sum(axis=1).reshape(R2, W * 32)
     np.testing.assert_array_equal(counts, expect)
+
+
+def test_planes_dual_max_matches_expand_oracle():
+    """planes_dual_max_pallas (fused expansion + dual-threshold segment
+    max) must equal expand_planes + _max_counts_impl at both thresholds,
+    including uint16-wrapped (no-match) thresholds and masked bins."""
+    import jax.numpy as jnp
+
+    from readbouncer_tpu.ibf.query import _max_counts_impl
+    from readbouncer_tpu.ops.ibf_count_pallas import (
+        expand_planes,
+        pack_bin_mask,
+        planes_dual_max_pallas,
+    )
+
+    rng = np.random.default_rng(9)
+    R, P, W = 24, 6, 4
+    planes = rng.integers(0, 2**32, size=(2 * R, P, W), dtype=np.uint32)
+    B = W * 32
+    segments = ((0, 64), (64, 64))
+    bin_mask = np.zeros(B, dtype=bool)
+    bin_mask[:50] = True  # declared bins of segment 0
+    bin_mask[64:120] = True  # segment 1
+    # thresholds: small, zero, and uint16-wrapped (never matches)
+    thr_b = rng.integers(0, 40, size=R).astype(np.uint32)
+    thr_b[0] = 0
+    thr_b[1] = 65529  # -7 wrap: no match
+    thr_r = thr_b + rng.integers(0, 5, size=R).astype(np.uint32)
+
+    mb, mr = planes_dual_max_pallas(
+        jnp.asarray(planes),
+        jnp.asarray(thr_b),
+        jnp.asarray(thr_r),
+        jnp.asarray(pack_bin_mask(bin_mask)),
+        segments,
+        interpret=True,
+        read_block=8,
+    )
+    counts = np.asarray(expand_planes(jnp.asarray(planes)))  # [2R, B]
+    counts3 = counts.reshape(R, 2, B)
+    want_b = np.asarray(
+        _max_counts_impl(
+            jnp.asarray(counts3), jnp.asarray(thr_b), jnp.asarray(bin_mask),
+            segments=segments,
+        )
+    )
+    want_r = np.asarray(
+        _max_counts_impl(
+            jnp.asarray(counts3), jnp.asarray(thr_r), jnp.asarray(bin_mask),
+            segments=segments,
+        )
+    )
+    np.testing.assert_array_equal(np.asarray(mb), want_b)
+    np.testing.assert_array_equal(np.asarray(mr), want_r)
