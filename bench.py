@@ -39,8 +39,8 @@ BINS_PER_FILTER = 512
 N_READS = 40_960
 READ_LEN = 1_000
 ERROR_RATE = 0.1
-BATCH_SIZE = 2_048
-HOST_BATCH = 8_192  # reads per pipelined host batch
+BATCH_SIZE = 1_024  # smaller launches beat 2048/4096: smaller anded intermediates (round-4 sweep)
+HOST_BATCH = 16_384  # reads per pipelined host batch (halves D2H round trips vs 8192)
 PIPELINE_DEPTH = 2  # host batches in flight
 N_TIMED_RUNS = 3  # headline = median (tunnel variance is +-15%)
 CACHE = Path(__file__).resolve().parent / ".bench_cache"

@@ -257,7 +257,7 @@ class ClassifyEngine:
     def classify_sequences_pipelined(
         self,
         seqs: list[str],
-        host_batch_reads: int = 8192,
+        host_batch_reads: int = 16384,
         depth: int = 2,
     ):
         """classify_sequences over pipelined host batches.
@@ -537,7 +537,7 @@ def classify_read_files(
     chunk_length: int = 250,
     max_chunks: int = 5,
     batch_size: int = 1024,
-    host_batch_reads: int = 8192,
+    host_batch_reads: int = 16384,
     verbose: bool = True,
     shard: tuple[int, int] = (0, 1),
     output_suffix: str = "",
