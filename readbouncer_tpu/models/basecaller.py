@@ -80,32 +80,12 @@ class GRUBasecaller(Basecaller):
             max_frames=self.max_frames,
         )
 
-    def basecall(self, signals: list[np.ndarray]) -> list[str]:
-        """Raw current signals -> basecalled sequences (batched).
-
-        Signals longer than the compiled program's ``max_frames`` window
-        (frames = (len - window) // stride + 1) are truncated; fine for
-        0.4 s live chunks, lossy for full offline reads — flagged once.
-        """
-        if not signals:
-            return []
-        framed = [self.frames_for(s) for s in signals]
-        T = self.max_frames
-        # pad the batch to a power-of-two bucket (floor 32): the jitted
-        # forward compiles per (B, T) shape and live ticks carry a
-        # different chunk count every tick — unbucketed batches would
-        # recompile server-side mid-run (minutes each on the tunnel)
-        B = max(32, 1 << (len(framed) - 1).bit_length())
-        batch = np.zeros((B, T, self.model.window), dtype=np.float32)
-        lens = np.zeros(B, dtype=np.int32)
+    def _warn_truncation(self, signals) -> None:
         w, st = self.model.window, self.frame_stride
+        T = self.max_frames
         truncated = sum(
             1 for s in signals if (max(len(s), w) - w) // st + 1 > T
         )
-        for i, f in enumerate(framed):
-            n = min(f.shape[0], T)
-            batch[i, :n] = f[:n]
-            lens[i] = n
         if truncated and not getattr(self, "_warned_truncation", False):
             self._warned_truncation = True
             import warnings
@@ -116,13 +96,75 @@ class GRUBasecaller(Basecaller):
                 "use on full-length reads",
                 stacklevel=2,
             )
-        n = len(framed)
-        logits = np.asarray(self.model.logits(batch))[:n]
+
+    def basecall_submit(self, signals: list[np.ndarray]):
+        """Dispatch the device forward; returns a handle for
+        basecall_collect.  Greedy path: ships the NORMALIZED SIGNAL
+        [B, S] (not frames — host framing amplifies the upload 13.2x,
+        docs/PERF_NOTES.md) and returns device argmax tokens; only
+        [B, T] int32 crosses back.  Beam path keeps the logits route.
+
+        The split lets the live scheduler overlap basecall(t+1) with
+        classify(t) — the device call is async until collected.
+        """
+        if not signals:
+            return None
+        w, st, T = self.model.window, self.frame_stride, self.max_frames
+        self._warn_truncation(signals)
+        # pad the batch to a power-of-two bucket (floor 32): the jitted
+        # forward compiles per (B, S) shape and live ticks carry a
+        # different chunk count every tick — unbucketed batches would
+        # recompile server-side mid-run (minutes each on the tunnel)
+        B = max(32, 1 << (len(signals) - 1).bit_length())
         if self.decoder == "beam":
+            framed = [self.frames_for(s) for s in signals]
+            batch = np.zeros((B, T, w), dtype=np.float32)
+            lens = np.zeros(B, dtype=np.int32)
+            for i, f in enumerate(framed):
+                n = min(f.shape[0], T)
+                batch[i, :n] = f[:n]
+                lens[i] = n
+            return ("beam", self.model.logits(batch), lens, len(signals))
+        S = (T - 1) * st + w
+        batch = np.zeros((B, S), dtype=np.float16)
+        lens = np.zeros(B, dtype=np.int32)
+        sizes = {len(s) for s in signals}
+        if len(sizes) == 1 and next(iter(sizes)) >= w:
+            # uniform-length chunks (the steady live tick): vectorized
+            # median/MAD over the whole batch
+            sig = np.stack([np.asarray(s, dtype=np.float32) for s in signals])
+            med = np.median(sig, axis=1, keepdims=True)
+            mad = np.median(np.abs(sig - med), axis=1, keepdims=True) + 1e-6
+            L = min(sig.shape[1], S)
+            batch[: len(signals), :L] = ((sig[:, :L] - med) / mad).astype(
+                np.float16
+            )
+            lens[: len(signals)] = min((L - w) // st + 1, T)
+        else:
+            for i, s in enumerate(signals):
+                norm = med_mad_normalize(s)[:S]
+                batch[i, : norm.shape[0]] = norm.astype(np.float16)
+                lens[i] = min((max(norm.shape[0], w) - w) // st + 1, T)
+        return ("greedy", self.model.tokens_from_signal(batch), lens, len(signals))
+
+    def basecall_collect(self, handle) -> list[str]:
+        """Fetch + decode a basecall_submit handle."""
+        if handle is None:
+            return []
+        kind, dev, lens, n = handle
+        if kind == "beam":
+            logits = np.asarray(dev)[:n]
             return [
                 beam_search_decode(
                     logits[i], self.beam_size, self.beam_cut_threshold, int(lens[i])
                 )
                 for i in range(n)
             ]
-        return greedy_decode(logits, lens[:n])
+        from readbouncer_tpu.models.ctc import greedy_decode_ids
+
+        tokens = np.asarray(dev)[:n]
+        return [greedy_decode_ids(tokens[i], int(lens[i])) for i in range(n)]
+
+    def basecall(self, signals: list[np.ndarray]) -> list[str]:
+        """Raw current signals -> basecalled sequences (batched)."""
+        return self.basecall_collect(self.basecall_submit(signals))

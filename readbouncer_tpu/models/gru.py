@@ -57,6 +57,21 @@ def frame_signal(
     return signal[idx]
 
 
+def frame_signal_jnp(sig: jnp.ndarray, window: int, stride: int) -> jnp.ndarray:
+    """Device framing: [B, S] normalized signal -> [B, T, window].
+
+    Host framing amplifies the upload ``window/stride`` = 13.2x (every
+    sample appears in ~13 overlapping windows); a 512-chunk live tick
+    would ship 42 MB of frames over the tunnel vs 3.4 MB of signal
+    (measured 610 ms vs ~40 ms — docs/PERF_NOTES.md round-4).  The
+    window gather is ``window`` strided slices, fused by XLA.
+    """
+    B, S = sig.shape
+    T = (S - window) // stride + 1
+    cols = [sig[:, w : w + stride * (T - 1) + 1 : stride] for w in range(window)]
+    return jnp.stack(cols, axis=2)  # [B, T, window]
+
+
 @dataclass
 class GRUBasecallerModel:
     """Holds device weights + jitted forward.
@@ -126,7 +141,27 @@ class GRUBasecallerModel:
             fwd = functools.partial(
                 gru_logits, self.params, precision=self.precision
             )
-        self._logits = jax.jit(fwd)
+        # XLA stack-allocates whole pallas operands/results in its scoped
+        # VMEM budget (default 16 MB) and OOMs at compile time for
+        # B >= 128, T = 320 — raise the budget on TPU backends
+        # (docs/PERF_NOTES.md round-4)
+        opts = (
+            {"xla_tpu_scoped_vmem_limit_kib": 65536}
+            if backend == "pallas"
+            else None
+        )
+        self._logits = jax.jit(fwd, compiler_options=opts)
+
+        def tokens(sig):  # [B, S] normalized signal -> argmax ids [B, T]
+            # ships as f16 (normalized values are ±8 MAD units; the
+            # ~1e-3 rounding is far under the pore noise) — halves the
+            # tick upload
+            frames = frame_signal_jnp(
+                sig.astype(jnp.float32), self.window, self.frame_stride
+            )
+            return jnp.argmax(fwd(frames), axis=-1).astype(jnp.int32)
+
+        self._tokens = jax.jit(tokens, compiler_options=opts)
 
     @property
     def hidden(self) -> int:
@@ -139,6 +174,12 @@ class GRUBasecallerModel:
     def logits(self, frames: jnp.ndarray) -> jnp.ndarray:
         """frames [B, T, window] -> CTC logits [B, T, 5]."""
         return self._logits(frames)
+
+    def tokens_from_signal(self, sig) -> jnp.ndarray:
+        """Normalized signal [B, S] -> greedy argmax ids [B, T] on
+        device (framing + forward + argmax in one program; only the
+        tiny token array crosses back to the host)."""
+        return self._tokens(jnp.asarray(sig))
 
 
 def _gru_layer(params: dict, x: jnp.ndarray, precision) -> jnp.ndarray:

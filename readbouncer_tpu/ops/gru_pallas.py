@@ -36,7 +36,15 @@ __all__ = ["gru_layer_pallas", "gru_logits_pallas"]
 
 
 def _gru_kernel(xg_ref, r_zr_ref, b_hzr_ref, rn_ref, bhn_ref, out_ref, h_ref, *, t_chunk, hidden):
-    """One (B_tile, T_chunk) block of the recurrence; h persists in VMEM."""
+    """One (T_chunk, B_tile) block of the recurrence; h persists in VMEM.
+
+    Layout is TIME-MAJOR: xg_ref [t_chunk, B_tile, 3H], out_ref
+    [t_chunk, B_tile, H].  The per-step dynamic index then lands on the
+    LEADING (block-offset) axis — indexing the time axis when it sat
+    second-minor (sublane) cost a cross-sublane shuffle per batch row
+    per step and made the whole forward ~50x slower (measured 676 ms
+    for B=512, T=320 on v5e; docs/PERF_NOTES.md round-4).
+    """
     H = hidden
     t = pl.program_id(1)
 
@@ -51,7 +59,7 @@ def _gru_kernel(xg_ref, r_zr_ref, b_hzr_ref, rn_ref, bhn_ref, out_ref, h_ref, *,
 
     def step(s, _):
         h = h_ref[:]
-        xg_t = xg_ref[:, s, :]  # [B_tile, 3H]
+        xg_t = xg_ref[s]  # [B_tile, 3H]
         hzr = jnp.dot(h, r_zr, preferred_element_type=jnp.float32) + b_hzr
         z = jax.nn.sigmoid(xg_t[:, :H] + hzr[:, :H])
         r = jax.nn.sigmoid(xg_t[:, H : 2 * H] + hzr[:, H:])
@@ -59,7 +67,7 @@ def _gru_kernel(xg_ref, r_zr_ref, b_hzr_ref, rn_ref, bhn_ref, out_ref, h_ref, *,
         n = jnp.tanh(xg_t[:, 2 * H :] + r * hn)
         h_new = (1.0 - z) * n + z * h
         h_ref[:] = h_new
-        out_ref[:, s, :] = h_new
+        out_ref[s] = h_new
         return 0
 
     jax.lax.fori_loop(0, t_chunk, step, 0)
@@ -84,13 +92,13 @@ def gru_layer_pallas(
             raise ValueError(f"T={T} must be divisible by a power-of-two t_chunk")
     grid = (B // b_tile, T // t_chunk)
     kernel = functools.partial(_gru_kernel, t_chunk=t_chunk, hidden=H)
-    return pl.pallas_call(
+    ys_t = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (b_tile, t_chunk, threeH),
-                lambda i, t: (i, t, 0),
+                (t_chunk, b_tile, threeH),
+                lambda i, t: (t, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((H, 2 * H), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
@@ -99,21 +107,22 @@ def gru_layer_pallas(
             pl.BlockSpec((H,), lambda i, t: (0,), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (b_tile, t_chunk, H), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM
+            (t_chunk, b_tile, H), lambda i, t: (t, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B, T, H), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, B, H), jnp.float32),
         scratch_shapes=[pltpu.VMEM((b_tile, H), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(
-        xg.astype(jnp.float32),
+        jnp.swapaxes(xg, 0, 1).astype(jnp.float32),  # time-major
         params["r_zr"].astype(jnp.float32),
         params["b_hzr"].astype(jnp.float32),
         params["rn"].astype(jnp.float32),
         params["bhn"].astype(jnp.float32),
     )
+    return jnp.swapaxes(ys_t, 0, 1)
 
 
 def gru_logits_pallas(
