@@ -89,6 +89,9 @@ class TPUParams:
     break_reads_after_seconds: float = 0.4
     action_pacing_seconds: float = 0.4
     unblock_duration: float = 0.1
+    # live cross-tick pipelining: basecall(t) collected during tick t+1
+    # (hides transfers, delays decisions one tick — see BENCHMARKS.md)
+    overlap_ticks: bool = False
     replay_file: str = ""  # signal source for the replay harness
     mesh_shape: str = ""  # e.g. "data:4,bins:2"
     # multi-host: jax.distributed coordinator ("host0:8476"); empty = single

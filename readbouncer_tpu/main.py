@@ -244,6 +244,7 @@ def run_target(config: ConfigReader, verbose: bool) -> int:
         error_rate=config.ibf.error_rate,
         significance=config.tpu.significance,
         batch_size=config.tpu.batch_size,
+        overlap_ticks=config.tpu.overlap_ticks,
     )
     sampler = AdaptiveSampler(
         source,

@@ -66,13 +66,17 @@ class ShardedFilterStack:
                 f"'{BINS_AXIS}' axis ({n_bins_shards}); pad filters to "
                 f"{32 * n_bins_shards}-bin multiples"
             )
-        bits_sh = NamedSharding(mesh, P(None, BINS_AXIS))
-        mask_sh = NamedSharding(mesh, P(BINS_AXIS))
+        # tolerate meshes that carry only one of the two axes (a pure
+        # bins-TP or pure data-DP mesh): a missing axis means replicated
+        bins_ax = BINS_AXIS if BINS_AXIS in mesh.shape else None
+        data_ax = DATA_AXIS if DATA_AXIS in mesh.shape else None
+        bits_sh = NamedSharding(mesh, P(None, bins_ax))
+        mask_sh = NamedSharding(mesh, P(bins_ax))
         self.bits = jax.device_put(np.asarray(stack.bits), bits_sh)
         self.bin_mask = jax.device_put(np.asarray(stack.bin_mask), mask_sh)
-        data = NamedSharding(mesh, P(DATA_AXIS))
-        data2 = NamedSharding(mesh, P(DATA_AXIS, None))
-        out_sh = NamedSharding(mesh, P(DATA_AXIS, None))
+        data = NamedSharding(mesh, P(data_ax))
+        data2 = NamedSharding(mesh, P(data_ax, None))
+        out_sh = NamedSharding(mesh, P(data_ax, None))
         self._step = jax.jit(
             functools.partial(
                 _classify_step_impl,

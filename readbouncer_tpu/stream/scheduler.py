@@ -67,6 +67,13 @@ class LiveConfig:
     basecall_min_len: int = 250  # DeepNanoBasecaller.cpp:52
     give_up_len: int = 1500  # adaptive_sampling.hpp:315
     interval_seconds: float = 60.0
+    # cross-tick pipelining: dispatch basecall(t) at tick t but decide
+    # its reads during tick t+1, overlapping the basecall transfers
+    # with classify compute.  OFF by default on purpose: both stages
+    # share one chip, so overlap hides only transfers while delaying
+    # every decision by a full tick of wall time — usually the wrong
+    # trade for adaptive sampling (BENCHMARKS.md live section).
+    overlap_ticks: bool = False
 
 
 class LiveClassifier:
@@ -329,6 +336,7 @@ class AdaptiveSampler:
         self.pending_bc: dict[str, str] = {}
         self.once_seen: dict[str, tuple[str, int]] = {}
         self._stop_requested = False
+        self._bc_pending = None  # overlap_ticks: (chunks, basecall handle)
         self.depleted_writer = FastaWriter(self.output_dir / "DepletedReads.fasta")
         self.target_writer = FastaWriter(self.output_dir / "TargetReads.fasta")
 
@@ -364,11 +372,69 @@ class AdaptiveSampler:
             )
         )
 
+    def _process_basecalled(self, chunks, seqs) -> None:
+        """Classify + decide one tick's basecalled chunks.
+
+        Assembles ONE classification batch per tick.  A read already
+        in once_seen is checked on its CONCATENATED sequence — the
+        reference's semantics (it concatenates before check_unblock,
+        adaptive_sampling.hpp:283-311) — so the old "second pass"
+        device round trip per tick is gone entirely.
+        """
+        items: list[tuple[SignalChunk, str, str, int]] = []
+        for c, s in zip(chunks, seqs):
+            s = self.pending_bc.pop(c.read_id, "") + s
+            if len(s) < self.cfg.basecall_min_len:
+                self.pending_bc[c.read_id] = s
+                continue
+            prev, iterstep = self.once_seen.pop(c.read_id, ("", 0))
+            items.append((c, s, prev + s, iterstep))
+        if not items:
+            return
+        t0 = time.monotonic()
+        decisions = self.classifier.decide([full for _, _, full, _ in items])
+        for (c, s, full, iterstep), d in zip(items, decisions):
+            if d == DECISION_UNBLOCK:
+                self._emit(c, full, True)
+            elif d == DECISION_STOP_RECEIVING:
+                self._emit(c, full, False)
+            elif iterstep > 0 and len(full) > self.cfg.give_up_len:
+                # assume on-target (adaptive_sampling.hpp:313-325)
+                self._emit(c, full, False)
+            else:
+                self.once_seen[c.read_id] = (full, iterstep + 1)
+        cl_dt = time.monotonic() - t0
+        self.stats.classify_seconds += cl_dt
+        for c, _, _, _ in items:  # batch-attributed classify span
+            tm = self.measures.get(c.read_id)
+            if tm is not None:
+                tm.classify.add(cl_dt / len(items))
+        self.stats.reads_processed += len(items)
+
+    def _collect_pending_basecall(self) -> None:
+        """Overlap mode: decide the PREVIOUS tick's reads now."""
+        if self._bc_pending is None:
+            return
+        pchunks, handle = self._bc_pending
+        self._bc_pending = None
+        t0 = time.monotonic()
+        seqs = self.basecaller.basecall_collect(handle)
+        bc_dt = time.monotonic() - t0
+        self.stats.basecall_seconds += bc_dt
+        for c in pchunks:
+            tm = self.measures.get(c.read_id)
+            if tm is not None:
+                tm.basecall.add(bc_dt / len(pchunks))
+        self._process_basecalled(pchunks, seqs)
+
     def step(self) -> int:
         """One 0.4 s tick; returns number of chunks processed."""
         t_tick = time.monotonic()
         chunks = self.source.tick()
         self.stats.ticks += 1
+        overlap = self.cfg.overlap_ticks and hasattr(
+            self.basecaller, "basecall_submit"
+        )
         if chunks:
             for c in chunks:
                 tm = self.measures.get(c.read_id)
@@ -377,45 +443,29 @@ class AdaptiveSampler:
                     tm.complete.start()  # signal receipt (Data.cpp:376-377)
                     self.measures[c.read_id] = tm
                 self.interval.record_chunk(c.channel)
+        if overlap:
+            # dispatch tick t's basecall, decide tick t-1's reads while
+            # the device chews on it (cross-tick pipelining; opt-in —
+            # see LiveConfig.overlap_ticks)
+            handle = (
+                self.basecaller.basecall_submit([c.signal for c in chunks])
+                if chunks
+                else None
+            )
+            had_pending = self._bc_pending is not None
+            self._collect_pending_basecall()
+            if handle is not None:
+                self._bc_pending = (chunks, handle)
+            if chunks or had_pending:
+                self.stats.tick_latencies.append(time.monotonic() - t_tick)
+        elif chunks:
             t0 = time.monotonic()
             seqs = self.basecaller.basecall([c.signal for c in chunks])
             bc_dt = time.monotonic() - t0
             self.stats.basecall_seconds += bc_dt
             for c in chunks:  # batch-attributed per-read basecall span
                 self.measures[c.read_id].basecall.add(bc_dt / len(chunks))
-            # Assemble ONE classification batch per tick.  A read already
-            # in once_seen is checked on its CONCATENATED sequence — the
-            # reference's semantics (it concatenates before check_unblock,
-            # adaptive_sampling.hpp:283-311) — so the old "second pass"
-            # device round trip per tick is gone entirely.
-            items: list[tuple[SignalChunk, str, str, int]] = []
-            for c, s in zip(chunks, seqs):
-                s = self.pending_bc.pop(c.read_id, "") + s
-                if len(s) < self.cfg.basecall_min_len:
-                    self.pending_bc[c.read_id] = s
-                    continue
-                prev, iterstep = self.once_seen.pop(c.read_id, ("", 0))
-                items.append((c, s, prev + s, iterstep))
-            if items:
-                t0 = time.monotonic()
-                decisions = self.classifier.decide([full for _, _, full, _ in items])
-                for (c, s, full, iterstep), d in zip(items, decisions):
-                    if d == DECISION_UNBLOCK:
-                        self._emit(c, full, True)
-                    elif d == DECISION_STOP_RECEIVING:
-                        self._emit(c, full, False)
-                    elif iterstep > 0 and len(full) > self.cfg.give_up_len:
-                        # assume on-target (adaptive_sampling.hpp:313-325)
-                        self._emit(c, full, False)
-                    else:
-                        self.once_seen[c.read_id] = (full, iterstep + 1)
-                cl_dt = time.monotonic() - t0
-                self.stats.classify_seconds += cl_dt
-                for c, _, _, _ in items:  # batch-attributed classify span
-                    tm = self.measures.get(c.read_id)
-                    if tm is not None:
-                        tm.classify.add(cl_dt / len(items))
-                self.stats.reads_processed += len(items)
+            self._process_basecalled(chunks, seqs)
             self.stats.tick_latencies.append(time.monotonic() - t_tick)
         self.sender.flush()
         self.interval.maybe_dump(
@@ -467,6 +517,7 @@ class AdaptiveSampler:
         finally:
             if prev_handler is not None:
                 _signal.signal(_signal.SIGINT, prev_handler)
+        self._collect_pending_basecall()  # overlap_ticks: trailing tick
         self.sender.drain()
         # reads whose chunks ran out while unclassified (a read can sit in
         # both maps: once_seen from an earlier chunk, pending from its last)

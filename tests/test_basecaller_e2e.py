@@ -140,3 +140,56 @@ def test_sequence_to_signal_jitter_options():
     # drift is a cumulative wander: late samples deviate more than early
     d = np.abs(drifted - base)
     assert d[:50].mean() < d[-50:].mean()
+
+
+def test_live_pipeline_overlap_ticks_same_outcomes(tmp_path):
+    """Opt-in cross-tick pipelining (LiveConfig.overlap_ticks): basecall
+    of tick t is collected during tick t+1.  Final per-read outcomes
+    must match the serial scheduler (actions land one tick later, so
+    source-side sample counts may differ — outcomes may not)."""
+    caller = _trained_caller()
+    rng = np.random.default_rng(77)
+    host = _rand_seq(rng, 6000)
+    target = _rand_seq(rng, 6000)
+    params = IBFParams(kmer_size=13, fragment_length=100_000)
+    for name, seq in [("host", host), ("target", target)]:
+        (tmp_path / f"{name}.fasta").write_text(f">{name}\n{seq}\n")
+    host_ibf, _ = build_ibf([tmp_path / "host.fasta"], params, name="host")
+    target_ibf, _ = build_ibf([tmp_path / "target.fasta"], params, name="target")
+
+    def mk_reads():
+        r = np.random.default_rng(5)
+        out = []
+        for i, (g, p) in enumerate([(host, "h"), (target, "t")] * 3):
+            start = int(r.integers(0, len(g) - 4000))
+            seq = g[start : start + 4000]
+            out.append(
+                ReplayRead(
+                    read_id=f"{p}{i}",
+                    signal=sequence_to_signal(seq, rng=np.random.default_rng(100 + i)),
+                    true_seq=seq,
+                )
+            )
+        return out
+
+    from readbouncer_tpu.models.basecaller import GRUBasecaller
+
+    outcomes = {}
+    for overlap in (False, True):
+        src = ReplaySource(reads=mk_reads(), channels=6)
+        cfg = LiveConfig(batch_size=16, overlap_ticks=overlap)
+        sampler = AdaptiveSampler(
+            source=src,
+            basecaller=GRUBasecaller(network="synth48", max_frames=320),
+            classifier=LiveClassifier([target_ibf], [host_ibf], cfg),
+            output_dir=tmp_path / f"out_{overlap}",
+            cfg=cfg,
+        )
+        stats = sampler.run(max_ticks=120)
+        outcomes[overlap] = {
+            r.read_id: ("unblocked" if r.unblocked else "stopped" if r.stopped else "ran")
+            for r in src.reads
+        }
+        assert stats.unblocked == 3, stats.report()
+        assert stats.stop_received == 3
+    assert outcomes[False] == outcomes[True]

@@ -255,3 +255,107 @@ def test_two_process_classify_end_to_end(tmp_path):
         assert not (h0 & h1), f"{stem}: shard outputs overlap"
         solo_ids = ids_in(tmp_path / "out_solo" / f"{stem}.fasta")
         assert (h0 | h1) == solo_ids
+
+
+_BINS_TP_WORKER = r"""
+import json, os, sys
+import numpy as np
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+work = sys.argv[4]
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=nproc, process_id=pid
+)
+sys.path.insert(0, os.environ["REPO"])
+from jax.sharding import Mesh
+
+from readbouncer_tpu.classify.engine import encode_batch
+from readbouncer_tpu.classify.math import ci_and_threshold_batch
+from readbouncer_tpu.ibf.build import build_ibf
+from readbouncer_tpu.ibf.params import IBFParams
+from readbouncer_tpu.ibf.query import FilterStack
+from readbouncer_tpu.parallel.mesh import BINS_AXIS
+from readbouncer_tpu.parallel.sharded import ShardedFilterStack
+
+params = IBFParams(kmer_size=13, fragment_length=100_000)
+ibf, _ = build_ibf([f"{work}/targetA.fasta"], params, name="targetA")
+stack = FilterStack([ibf])
+assert stack.words % 2 == 0, stack.words
+
+# every process holds the same global inputs; the mesh spans BOTH
+# processes' devices -> the bins-axis segment-max reduction crosses
+# the process boundary (the rebuild's DCN-analog collective)
+devs = np.array(jax.devices()[:2])
+mesh = Mesh(devs.reshape(2), (BINS_AXIS,))
+sh = ShardedFilterStack(stack, mesh)
+
+ref = open(f"{work}/targetA.fasta").read().split("\n", 1)[1].replace("\n", "")
+seqs = [ref[i * 300 : i * 300 + 280] for i in range(8)]
+reads, lens = encode_batch(seqs, 280)
+thr_b = ci_and_threshold_batch(lens, 13, 0.1, 0.95)
+thr_r = ci_and_threshold_batch(lens, 13, 0.08, 0.95)
+mb, mr = sh.max_counts_dual(reads, lens, thr_b, thr_r)
+
+# single-process oracle on the local stack
+counts = stack.counts(reads, lens)
+want_b = np.asarray(stack.max_counts(counts, thr_b))
+want_r = np.asarray(stack.max_counts(counts, thr_r))
+# out is replicated over the bins mesh: each process's local shard IS
+# the full result
+got_b = np.asarray(mb.addressable_shards[0].data)
+got_r = np.asarray(mr.addressable_shards[0].data)
+np.testing.assert_array_equal(got_b, want_b)
+np.testing.assert_array_equal(got_r, want_r)
+if pid == 0:
+    print("RESULT " + json.dumps({"ok": 1, "max": int(want_b.max())}))
+"""
+
+
+def test_two_process_bins_sharded_classify(tmp_path):
+    """Bins-TP across TWO jax.distributed processes: the filter's word
+    axis shards over a mesh spanning both processes and the per-filter
+    segment max reduces across the process boundary — the real
+    cross-host collective path (SURVEY §5.8), asserted equal to the
+    single-process oracle."""
+    rng = np.random.default_rng(41)
+    ref = "".join("ACGT"[i] for i in rng.integers(0, 4, 3000))
+    (tmp_path / "targetA.fasta").write_text(f">targetA\n{ref}\n")
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env["REPO"] = str(Path(__file__).resolve().parent.parent)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
+    script = tmp_path / "worker.py"
+    script.write_text(_BINS_TP_WORKER)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), "2", str(port), str(tmp_path)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            env=env,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("bins-TP workers timed out")
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed: {err[-2000:]}"
+    result_lines = [
+        ln for rc, out, _ in outs for ln in out.splitlines() if ln.startswith("RESULT ")
+    ]
+    assert len(result_lines) == 1
+    res = json.loads(result_lines[0][len("RESULT "):])
+    assert res["ok"] == 1 and res["max"] > 0  # on-target reads matched
