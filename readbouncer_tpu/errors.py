@@ -49,6 +49,7 @@ __all__ = [
     "ConfigError",
     "MissingInputError",
     "WeightsError",
+    "BasecallerError",
 ]
 
 
@@ -112,3 +113,9 @@ class MissingInputError(ConfigError):
 
 class WeightsError(ReadBouncerError, ValueError):
     """Basecaller weight file missing or malformed."""
+
+
+class BasecallerError(ReadBouncerError, RuntimeError):
+    """Basecaller failure (reference: BasecallerException,
+    src/basecaller/Basecaller.hpp:30-55): remote server unreachable,
+    connection dropped, or malformed response."""

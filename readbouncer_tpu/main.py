@@ -226,6 +226,14 @@ def run_target(config: ConfigReader, verbose: bool) -> int:
         from readbouncer_tpu.stream.replay import NearestLevelBasecaller
 
         basecaller = NearestLevelBasecaller()
+    elif caller in ("guppy", "remote"):
+        # out-of-process basecall server (the reference's Guppy slot,
+        # src/basecaller/Guppy/*): batched TCP client, tag rejoin
+        from readbouncer_tpu.models.remote import RemoteBasecaller
+
+        basecaller = RemoteBasecaller(
+            host=config.basecaller.host, port=int(config.basecaller.port)
+        )
     else:
         # "DeepNano" (and any GPU-server caller name) maps to the on-chip
         # GRU — the JAX GRU *is* the native basecaller (SURVEY.md §2.1).

@@ -1,0 +1,139 @@
+"""Out-of-process basecaller client — the Guppy-server slot.
+
+The reference's second basecaller is a client to an external GPU
+basecall server (GuppyBasecaller, reference:
+src/basecaller/Guppy/GuppyBasecaller.cpp + the vendored GuppyCPPClient).
+The TPU rebuild's native basecaller is the on-chip GRU
+(models/basecaller.py), but the interface slot for a remote server is
+kept real: this client speaks a simple newline-delimited-JSON protocol
+to any TCP basecall server and preserves the reference client's
+semantics:
+
+* signals are converted float -> int16 before transmission
+  (reference: GuppyBasecaller.cpp:78-80),
+* each read is submitted with a ``read_tag`` and results are re-joined
+  by tag, tolerating out-of-order completion
+  (reference: GuppyBasecaller.cpp:137-140),
+* submissions are batched (initial batch 200,
+  reference: GuppyBasecaller.hpp:34),
+* connect has a bounded timeout (30 s in the reference,
+  GuppyBasecaller.cpp:24).
+
+Wire protocol (one JSON object per line, UTF-8):
+  client -> server: {"tag": int, "signal": [int16, ...]}
+  server -> client: {"tag": int, "seq": "ACGT..."}
+
+The short-result pending/concat logic (<200 bp parked for the read's
+next chunk) lives in the live scheduler like for every other caller
+(stream/scheduler.py), not here.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+
+import numpy as np
+
+from readbouncer_tpu.errors import BasecallerError
+from readbouncer_tpu.models.basecaller import Basecaller
+
+__all__ = ["RemoteBasecaller", "serve_basecalls"]
+
+
+class RemoteBasecaller(Basecaller):
+    """TCP client to an external basecall server (the Guppy slot)."""
+
+    def __init__(
+        self,
+        host: str = "127.0.0.1",
+        port: int = 5555,
+        batch_size: int = 200,  # reference: GuppyBasecaller.hpp:34
+        connect_timeout: float = 30.0,  # reference: GuppyBasecaller.cpp:24
+    ):
+        self.host = host
+        self.port = int(port)
+        self.batch_size = batch_size
+        self.connect_timeout = connect_timeout
+        self._sock: socket.socket | None = None
+        self._rx = b""
+        self._next_tag = 0
+
+    def _connect(self) -> socket.socket:
+        if self._sock is None:
+            try:
+                self._sock = socket.create_connection(
+                    (self.host, self.port), timeout=self.connect_timeout
+                )
+            except OSError as e:
+                raise BasecallerError(
+                    f"cannot reach basecall server at {self.host}:{self.port}: {e}"
+                ) from e
+        return self._sock
+
+    def close(self) -> None:
+        if self._sock is not None:
+            self._sock.close()
+            self._sock = None
+
+    def _recv_line(self, sock: socket.socket) -> dict:
+        while b"\n" not in self._rx:
+            data = sock.recv(65536)
+            if not data:
+                raise BasecallerError("basecall server closed the connection")
+            self._rx += data
+        line, self._rx = self._rx.split(b"\n", 1)
+        return json.loads(line)
+
+    def basecall(self, signals: list[np.ndarray]) -> list[str]:
+        """Submit a batch, re-join results by read tag."""
+        if not signals:
+            return []
+        sock = self._connect()
+        tags = []
+        out: dict[int, str] = {}
+        for start in range(0, len(signals), self.batch_size):
+            batch = signals[start : start + self.batch_size]
+            msgs = []
+            for sig in batch:
+                tag = self._next_tag
+                self._next_tag += 1
+                tags.append(tag)
+                # float signal -> int16, exactly like the reference client
+                i16 = np.asarray(sig, dtype=np.float32).astype(np.int16)
+                msgs.append(json.dumps({"tag": tag, "signal": i16.tolist()}))
+            sock.sendall(("\n".join(msgs) + "\n").encode())
+            for _ in batch:  # results may arrive in any order
+                resp = self._recv_line(sock)
+                out[int(resp["tag"])] = str(resp["seq"])
+        return [out[t] for t in tags]
+
+
+def serve_basecalls(
+    server_sock: socket.socket, basecall_fn, max_requests: int | None = None
+) -> int:
+    """Minimal single-connection basecall server loop (test/reference
+    harness — run a real model behind it to stand in for guppy_basecall
+    server).  Returns the number of reads served."""
+    conn, _ = server_sock.accept()
+    served = 0
+    rx = b""
+    try:
+        with conn:
+            while max_requests is None or served < max_requests:
+                while b"\n" not in rx:
+                    data = conn.recv(65536)
+                    if not data:
+                        return served
+                    rx += data
+                line, rx = rx.split(b"\n", 1)
+                req = json.loads(line)
+                sig = np.asarray(req["signal"], dtype=np.float32)
+                seq = basecall_fn([sig])[0]
+                conn.sendall(
+                    (json.dumps({"tag": req["tag"], "seq": seq}) + "\n").encode()
+                )
+                served += 1
+    except (ConnectionResetError, BrokenPipeError):
+        pass
+    return served
