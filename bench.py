@@ -119,12 +119,23 @@ def main() -> None:
     engine = ClassifyEngine(
         targets, depletes, error_rate=ERROR_RATE, batch_size=BATCH_SIZE
     )
+    # congestion probe: tunnel round-trip latency swings 27 -> 417 ms by
+    # the hour (docs/PERF_NOTES.md).  On a congested link the per-put/
+    # per-get ROUND TRIPS dominate (~15 of them at 16k host batches), so
+    # fall back to one whole-run pool = ~6 round trips total; on a
+    # healthy link the 16k-batch depth-2 pipeline is ~3-6% faster.
+    probe_s = engine.probe_transfer_seconds()
+    host_batch, depth = (HOST_BATCH, PIPELINE_DEPTH)
+    if probe_s >= 0.08:
+        host_batch, depth = N_READS, 1
+    print(f"# transfer probe: {probe_s*1e3:.0f} ms for 0.5 MB -> "
+          f"host_batch={host_batch} depth={depth}")
     # pipelined host batches: encode/pack/H2D of batch i+1 and the D2H
     # of batch i-1 overlap device compute of batch i (the serial loop
     # left ~1.1 s of a 3.3 s run in unoverlapped transfers/host work —
     # docs/PERF_NOTES.md stage budget)
     run = lambda: engine.classify_sequences_pipelined(
-        seqs, host_batch_reads=HOST_BATCH, depth=PIPELINE_DEPTH
+        seqs, host_batch_reads=host_batch, depth=depth
     )
     # warmup: one FULL run — compiles both phase programs at the exact
     # pool-bucket shapes of the measured run (the device pools are

@@ -304,6 +304,11 @@ class ClassifyEngine:
 
         import jax
 
+        # throwaway put first: the process's first transfer pays backend
+        # + tunnel-session init (measured 127 s once!) and would bias
+        # the probe toward "congested" on every healthy hour
+        warm = jax.device_put(np.zeros(4096, dtype=np.uint8))
+        np.asarray(warm[:1])
         buf = np.zeros(nbytes, dtype=np.uint8)
         t0 = _time.monotonic()
         dev = jax.device_put(buf)
