@@ -580,9 +580,26 @@ def classify_read_files(
         max_chunks,
         batch_size,
     )
+    log = get_logger("ClassifyLog")
+    probe_s = None
+    if (transfer_mode or "").lower() == "auto":
+        probe_s = engine.probe_transfer_seconds()
     engine.overlap_pool = choose_transfer_mode(
-        transfer_mode, engine, logger=get_logger("ClassifyLog")
+        transfer_mode,
+        engine,
+        probe_fn=(None if probe_s is None else (lambda nb: probe_s)),
+        logger=log,
     )
+    if probe_s is not None and probe_s >= 0.08:
+        # congested link: per-put/per-get ROUND TRIPS dominate, so ship
+        # fewer, larger pools (measured 5.6k -> 14.2k reads/s on the
+        # same congested hour — BENCHMARKS.md)
+        host_batch_reads = max(host_batch_reads, 65536)
+        pipeline_depth = 1
+        log.info(
+            "transfer probe %.0f ms: congested -> host_batch_reads=%d depth=1",
+            probe_s * 1e3, host_batch_reads,
+        )
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     results = ClassifyResults()

@@ -215,3 +215,36 @@ def test_choose_transfer_mode_auto_probe(world, caplog):
         choose_transfer_mode("bogus", engine)
     # the real probe path runs and returns a sane duration
     assert 0.0 <= engine.probe_transfer_seconds(1 << 14) < 60.0
+
+
+def test_auto_transfer_mode_congested_driver(world, tmp_path, monkeypatch, caplog):
+    """transfer_mode=auto on a congested link switches the driver to
+    fewer, larger pools (and still classifies identically)."""
+    import logging
+
+    from readbouncer_tpu.classify import engine as engine_mod
+
+    tmp, rng, refs, filters = world
+    reads = _reads_from(rng, refs["targetA"], 5, 400, "a") + [
+        (f"rand_{i}", _rand_seq(rng, 600)) for i in range(3)
+    ]
+    read_file = _fasta(tmp_path / "reads.fasta", reads)
+    monkeypatch.setattr(
+        engine_mod.ClassifyEngine, "probe_transfer_seconds",
+        lambda self, nbytes=1 << 19: 0.4,  # fake congested sink
+    )
+    with caplog.at_level(logging.INFO, logger="ClassifyLog"):
+        res = classify_read_files(
+            [read_file],
+            target_filters=[filters["targetA"]],
+            deplete_filters=[],
+            error_rate=0.1,
+            output_dir=tmp_path / "out",
+            verbose=False,
+            batch_size=8,
+            transfer_mode="auto",
+        )
+    assert res.found == 5
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("congested" in m for m in msgs)
+    assert any("-> overlap" in m for m in msgs)
