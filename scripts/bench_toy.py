@@ -91,12 +91,22 @@ def main() -> None:
     engine = ClassifyEngine(
         targets, depletes, error_rate=ERROR_RATE, batch_size=BATCH_SIZE
     )
-    # warmup: compile every wave shape
-    engine.classify_sequences(seqs[: BATCH_SIZE])
-
+    # warmup: one FULL run — pool buckets are pow2-sized, so a small
+    # warmup slice compiles different program shapes and the timed run
+    # would pay minutes of server-side compile (same convention as
+    # bench.py since round 4)
     t0 = time.perf_counter()
-    classified, best, _ = engine.classify_sequences(seqs)
-    elapsed = time.perf_counter() - t0
+    engine.classify_sequences(seqs)
+    print(f"# warmup (compile) run: {time.perf_counter()-t0:.1f}s")
+
+    times = []
+    for i in range(3):  # median-of-3 (tunnel variance is +-15%)
+        t0 = time.perf_counter()
+        classified, best, _ = engine.classify_sequences(seqs)
+        times.append(time.perf_counter() - t0)
+        print(f"# run {i+1}: {times[-1]:.2f}s")
+    import numpy as _np
+    elapsed = float(_np.median(times))
 
     reads_per_sec = len(seqs) / elapsed
     print(
