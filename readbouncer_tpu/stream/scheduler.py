@@ -149,7 +149,13 @@ class LiveClassifier:
         self._dispatch(
             seqs, long, self.cfg.max_seq_len, self.long_batch, self._fused_long, futures
         )
-        for part_idx, m, d in futures:
+        import jax
+
+        # ONE batched fetch: each np.asarray costs a full tunnel round
+        # trip (~25 ms), and ticks with once_seen retries carry two
+        # bucket programs (docs/PERF_NOTES.md tunnel caveats)
+        fetched = jax.device_get([d for _, _, d in futures])
+        for (part_idx, m, _), d in zip(futures, fetched):
             out[part_idx] = np.asarray(d)[:m]
         return out
 
