@@ -62,6 +62,8 @@ def get_filters(params, n_filters: int = 4):
     filters, genomes = [], []
     for i in range(n_filters):
         tag = "" if params.hash_scheme == "rbt1" else f"_{params.hash_scheme}"
+        if params.hash_functions != 3:  # default-h files predate the tag
+            tag += f"_h{params.hash_functions}"
         name = f"g{i}_b{BINS_PER_FILTER}_f{params.fragment_length}_k{params.kmer_size}"
         gpath = CACHE / f"{name}.fasta"
         fpath = CACHE / f"{name}{tag}.ribf"
