@@ -237,17 +237,23 @@ def run_target(config: ConfigReader, verbose: bool) -> int:
     else:
         # "DeepNano" (and any GPU-server caller name) maps to the on-chip
         # GRU — the JAX GRU *is* the native basecaller (SURVEY.md §2.1).
-        # max_frames sized for one 0.4 s chunk window (padded x64): the
-        # live loop basecalls per-chunk signals, never whole reads
-        chunk_samples = int(4000 * config.tpu.break_reads_after_seconds)
-        frames = (max(chunk_samples, 66) - 66) // 5 + 1
         from readbouncer_tpu.models.basecaller import GRUBasecaller
 
         basecaller = GRUBasecaller(
             network=config.basecaller.network,
             weights_dir=config.basecaller.weights_dir,
-            max_frames=-(-frames // 64) * 64,
         )
+        # max_frames sized for one chunk window (padded x64) from the
+        # LOADED model's window/stride and the SOURCE's sample rate —
+        # a custom network or non-4000 Hz source must not silently
+        # truncate chunk tails.  The live loop basecalls per-chunk
+        # signals, never whole reads.
+        w, st = basecaller.model.window, basecaller.frame_stride
+        chunk_samples = int(
+            source.sample_rate * config.tpu.break_reads_after_seconds
+        )
+        frames = (max(chunk_samples, w) - w) // st + 1
+        basecaller.max_frames = -(-frames // 64) * 64
     cfg = LiveConfig(
         error_rate=config.ibf.error_rate,
         significance=config.tpu.significance,

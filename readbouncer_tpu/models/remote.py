@@ -50,11 +50,13 @@ class RemoteBasecaller(Basecaller):
         port: int = 5555,
         batch_size: int = 200,  # reference: GuppyBasecaller.hpp:34
         connect_timeout: float = 30.0,  # reference: GuppyBasecaller.cpp:24
+        read_timeout: float = 60.0,  # a hung server raises, never stalls
     ):
         self.host = host
         self.port = int(port)
         self.batch_size = batch_size
         self.connect_timeout = connect_timeout
+        self.read_timeout = read_timeout
         self._sock: socket.socket | None = None
         self._rx = b""
         self._next_tag = 0
@@ -69,6 +71,7 @@ class RemoteBasecaller(Basecaller):
                 raise BasecallerError(
                     f"cannot reach basecall server at {self.host}:{self.port}: {e}"
                 ) from e
+            self._sock.settimeout(self.read_timeout)
         return self._sock
 
     def close(self) -> None:
@@ -78,6 +81,27 @@ class RemoteBasecaller(Basecaller):
 
     def _recv_line(self, sock: socket.socket) -> dict:
         while b"\n" not in self._rx:
+            try:
+                data = sock.recv(65536)
+            except socket.timeout:
+                raise BasecallerError(
+                    f"basecall server sent no response within "
+                    f"{self.read_timeout:.0f}s"
+                ) from None
+            if not data:
+                raise BasecallerError("basecall server closed the connection")
+            self._rx += data
+        line, self._rx = self._rx.split(b"\n", 1)
+        return json.loads(line)
+
+    def _try_recv_line(self, sock: socket.socket) -> dict | None:
+        """Parse one response iff it can be had without blocking."""
+        import select
+
+        while b"\n" not in self._rx:
+            r, _, _ = select.select([sock], [], [], 0)
+            if not r:
+                return None
             data = sock.recv(65536)
             if not data:
                 raise BasecallerError("basecall server closed the connection")
@@ -86,26 +110,42 @@ class RemoteBasecaller(Basecaller):
         return json.loads(line)
 
     def basecall(self, signals: list[np.ndarray]) -> list[str]:
-        """Submit a batch, re-join results by read tag."""
+        """Submit a batch, re-join results by read tag.
+
+        Sends one read at a time and drains any responses already
+        available between sends: a serial request/response server (like
+        serve_basecalls) answers while the client is still submitting,
+        and a multi-MB whole-batch sendall against such a server can
+        deadlock once both sockets' buffers fill — so sends and receives
+        interleave, and the final collection loop runs under
+        ``read_timeout``.
+        """
         if not signals:
             return []
         sock = self._connect()
         tags = []
         out: dict[int, str] = {}
-        for start in range(0, len(signals), self.batch_size):
-            batch = signals[start : start + self.batch_size]
-            msgs = []
-            for sig in batch:
-                tag = self._next_tag
-                self._next_tag += 1
-                tags.append(tag)
-                # float signal -> int16, exactly like the reference client
-                i16 = np.asarray(sig, dtype=np.float32).astype(np.int16)
-                msgs.append(json.dumps({"tag": tag, "signal": i16.tolist()}))
-            sock.sendall(("\n".join(msgs) + "\n").encode())
-            for _ in batch:  # results may arrive in any order
-                resp = self._recv_line(sock)
+        pending = 0
+        for sig in signals:
+            tag = self._next_tag
+            self._next_tag += 1
+            tags.append(tag)
+            # float signal -> int16, exactly like the reference client
+            i16 = np.asarray(sig, dtype=np.float32).astype(np.int16)
+            sock.sendall(
+                (json.dumps({"tag": tag, "signal": i16.tolist()}) + "\n").encode()
+            )
+            pending += 1
+            while pending:  # results may arrive in any order
+                resp = self._try_recv_line(sock)
+                if resp is None:
+                    break
                 out[int(resp["tag"])] = str(resp["seq"])
+                pending -= 1
+        while pending:
+            resp = self._recv_line(sock)
+            out[int(resp["tag"])] = str(resp["seq"])
+            pending -= 1
         return [out[t] for t in tags]
 
 

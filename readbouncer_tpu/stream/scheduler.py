@@ -341,6 +341,15 @@ class AdaptiveSampler:
         self.measures: dict[str, TimeMeasures] = {}
         self.pending_bc: dict[str, str] = {}
         self.once_seen: dict[str, tuple[str, int]] = {}
+        # reads already decided whose stale chunks may still arrive: a
+        # chunk captured before the read's unblock/stop action applies
+        # (one tick later with overlap_ticks; several when ActionSender
+        # pacing/batching defers the action) must be dropped, not parked
+        # in pending_bc or re-classified — otherwise every decided read
+        # is also counted unclassified at run end, or re-emitted with a
+        # duplicate action/FASTA record.  read_id -> tick decided;
+        # pruned once no stale chunk can still be in flight.
+        self._decided: dict[str, int] = {}
         self._stop_requested = False
         self._bc_pending = None  # overlap_ticks: (chunks, basecall handle)
         self.depleted_writer = FastaWriter(self.output_dir / "DepletedReads.fasta")
@@ -367,6 +376,7 @@ class AdaptiveSampler:
             self.stats.stop_received += 1
             self.target_writer.write(chunk.read_id, seq)
         self.stats.classified += 1
+        self._decided[chunk.read_id] = self.stats.ticks
         self.sender.queue(
             Action(
                 channel=chunk.channel,
@@ -389,6 +399,11 @@ class AdaptiveSampler:
         """
         items: list[tuple[SignalChunk, str, str, int]] = []
         for c, s in zip(chunks, seqs):
+            if c.read_id in self._decided:
+                # stale chunk of an already-decided read (captured before
+                # its action applied); drop it and any parked fragment
+                self.pending_bc.pop(c.read_id, None)
+                continue
             s = self.pending_bc.pop(c.read_id, "") + s
             if len(s) < self.cfg.basecall_min_len:
                 self.pending_bc[c.read_id] = s
@@ -438,6 +453,14 @@ class AdaptiveSampler:
         t_tick = time.monotonic()
         chunks = self.source.tick()
         self.stats.ticks += 1
+        if self.stats.ticks % 64 == 0 and self._decided:
+            # bound the decided-read guard: an action applies within a
+            # few paced flushes (adaptive batch grows with backlog), so
+            # no stale chunk survives 64 ticks (~26 s at 0.4 s cadence)
+            horizon = self.stats.ticks - 64
+            self._decided = {
+                r: t for r, t in self._decided.items() if t > horizon
+            }
         overlap = self.cfg.overlap_ticks and hasattr(
             self.basecaller, "basecall_submit"
         )

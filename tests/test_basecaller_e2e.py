@@ -192,4 +192,14 @@ def test_live_pipeline_overlap_ticks_same_outcomes(tmp_path):
         }
         assert stats.unblocked == 3, stats.report()
         assert stats.stop_received == 3
+        # stale-chunk guard (ADVICE r4): a chunk captured before a
+        # decided read's action applied must be dropped — a decided read
+        # must be neither re-counted unclassified nor re-emitted
+        assert stats.classified == 6
+        assert stats.unclassified == 0, (
+            "decided reads leaked into the unclassified count"
+        )
+        for fname, want in [("DepletedReads.fasta", 3), ("TargetReads.fasta", 3)]:
+            text = (tmp_path / f"out_{overlap}" / fname).read_text()
+            assert text.count(">") == want, f"duplicate records in {fname}"
     assert outcomes[False] == outcomes[True]

@@ -53,6 +53,26 @@ def test_remote_basecaller_round_trip():
     assert out == seqs
 
 
+def test_remote_basecaller_large_batch_no_deadlock():
+    """A multi-MB batch against a serial request/response server must not
+    deadlock (ADVICE r4): the client interleaves sends and receives, so
+    the server's responses are drained while later reads are still being
+    submitted.  A whole-batch sendall would wedge here once both socket
+    buffers fill."""
+    n, samples = 12, 100_000  # ~7 MB of JSON on the wire
+    sigs = [np.full(samples, 100.0, np.float32) for _ in range(n)]
+    echo = lambda batch: ["A" * 5 for _ in batch]
+    port, t, served = _start_server(echo)
+    bc = RemoteBasecaller(port=port, read_timeout=30.0)
+    try:
+        out = bc.basecall(sigs)
+    finally:
+        bc.close()
+    assert out == ["A" * 5] * n
+    t.join(10)
+    assert served == [n]
+
+
 def test_remote_basecaller_out_of_order_tags():
     """Results arriving out of order must re-join by tag."""
     srv = socket.socket()
