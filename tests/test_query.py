@@ -59,16 +59,19 @@ def small_filters(tmp_path_factory):
     return filters
 
 
-def _exact_counts(ref_seq, read_seq, k):
-    """Oracle: windows of read whose k-mer occurs in the built fragment."""
+def _exact_counts(ref_seq, read_seq, k, frag_len=100_000):
+    """Oracle: windows of read whose k-mer occurs in the built fragment.
+
+    STRING-level set membership — independent of the u32 code space, so
+    it also catches k>=14 code-wrap effects (see test_k15_fragment200k)."""
     frag = cut_out_nnns(ref_seq)  # single fragment at this length
-    (fs, fe), = fragment_bounds(len(frag), 100_000, k)
+    (fs, fe), = fragment_bounds(len(frag), frag_len, k)
     frag = frag[fs:fe]
     ref_kmers = {frag[i : i + k] for i in range(len(frag) - k + 1)}
     comp = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
     rc_read = "".join(comp[c] for c in reversed(read_seq))
-    fwd = sum(read_seq[i : i + 13] in ref_kmers for i in range(len(read_seq) - k + 1))
-    rc = sum(rc_read[i : i + 13] in ref_kmers for i in range(len(rc_read) - k + 1))
+    fwd = sum(read_seq[i : i + k] in ref_kmers for i in range(len(read_seq) - k + 1))
+    rc = sum(rc_read[i : i + k] in ref_kmers for i in range(len(rc_read) - k + 1))
     return fwd, rc
 
 
@@ -330,3 +333,63 @@ def test_planes_dual_max_matches_expand_oracle():
     )
     np.testing.assert_array_equal(np.asarray(mb), want_b)
     np.testing.assert_array_equal(np.asarray(mr), want_r)
+
+
+def test_k15_fragment200k_exact_oracle(tmp_path):
+    """The k=15 / fragment=200k regime — the reference's Guppy-accuracy
+    recommendation (reference README.md:119; BASELINE config 4 geometry).
+
+    At k>=14 the base-5 forward code exceeds 2^32 before the mod
+    (ibf/hashing.py POW5), so DISTINCT k-mers can share a code — an FP
+    source on top of the Bloom bound.  Measured (docs/PARITY.md "k>=14
+    code wrap"): the wrap behaves like a uniform hash — extra FP rate
+    ~m/2^32 ~ 4.7e-5 per window at m=200k genome k-mers, ~0.5% of the
+    max_fp=0.01 Bloom budget, with no structural amplification (7
+    in-genome collisions across 200k k-mers ~ the birthday expectation).
+
+    This oracle asserts the regime end-to-end against STRING-level exact
+    containment (which the wrap cannot fool):
+
+    * no false negatives: codes are deterministic, so perfect-identity
+      reads count FULL windows on the right strand,
+    * the exact count is a floor, with only Bloom+wrap slack above,
+    * the device path equals the numpy path at k=15.
+    """
+    rng = np.random.default_rng(99)
+    seq = _rand_seq(rng, 150_000)
+    k, frag_len = 15, 200_000
+    params = IBFParams(kmer_size=k, fragment_length=frag_len)
+    path = _fasta(tmp_path, "g15.fasta", [("g15", seq)])
+    ibf, _ = build_ibf([path], params, name="g15")
+    assert ibf.kmer_size == k
+
+    read = seq[1000:1420]  # 420 bp perfect-identity on-target read
+    c = counts_np(ibf, encode_bases(read))
+    exact_fwd, exact_rc = _exact_counts(seq, read, k, frag_len)
+    assert exact_fwd == 420 - k + 1
+    assert c[0, 0] == exact_fwd  # every window hits, none lost to wrap
+
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    rc_read = "".join(comp[ch] for ch in reversed(read))
+    c2 = counts_np(ibf, encode_bases(rc_read))
+    assert c2[1, 0] == 420 - k + 1
+
+    # off-target: string-exact containment is the floor; the ceiling is
+    # exact + Bloom-FP + code-wrap slack (both ~1e-2/1e-5 per window —
+    # a handful of windows at most over 2 x 1986 windows)
+    off = _rand_seq(rng, 2000)
+    c3 = counts_np(ibf, encode_bases(off))
+    off_fwd, off_rc = _exact_counts(seq, off, k, frag_len)
+    assert off_fwd <= c3[0, 0] <= off_fwd + 60
+    assert off_rc <= c3[1, 0] <= off_rc + 60
+
+    # device path == numpy path at k=15
+    from readbouncer_tpu.classify.engine import encode_batch
+
+    stack = FilterStack([ibf])
+    L = 420
+    batch, lens = encode_batch([read, off[:L]], L)
+    dev = np.asarray(stack.counts(batch, lens))
+    for i, r in enumerate([read, off[:L]]):
+        host = counts_np(ibf, encode_bases(r[:L]))
+        np.testing.assert_array_equal(dev[i, :, :64], host, err_msg=f"read {i}")
