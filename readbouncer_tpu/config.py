@@ -92,7 +92,12 @@ class TPUParams:
     # live cross-tick pipelining: basecall(t) collected during tick t+1
     # (hides transfers, delays decisions one tick — see BENCHMARKS.md)
     overlap_ticks: bool = False
-    replay_file: str = ""  # signal source for the replay harness
+    replay_file: str = ""  # FASTA replay source (squiggles synthesized)
+    # recorded raw-signal replay: an .npz of per-read float sample
+    # arrays (ReplaySource.from_signals) — the stand-in for the
+    # reference's MinKNOW bulk-FAST5 playback run (README.md:266-323).
+    # Takes precedence over replay_file when both are set.
+    replay_signals: str = ""
     mesh_shape: str = ""  # e.g. "data:4,bins:2"
     # multi-host: jax.distributed coordinator ("host0:8476"); empty = single
     # process.  Input shards per host; GSPMD runs over the global mesh.

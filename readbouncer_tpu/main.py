@@ -178,16 +178,28 @@ def make_replay_source(config: ConfigReader):
     stream honoring the chunk/action timing contract."""
     from readbouncer_tpu.stream.replay import ReplaySource
 
-    if not config.tpu.replay_file:
+    if not config.tpu.replay_file and not config.tpu.replay_signals:
         raise ConfigError(
-            "target/test usage needs TPU.replay_file (the replayed signal "
-            "source standing in for a live MinKNOW run)"
+            "target/test usage needs TPU.replay_file (FASTA, squiggles "
+            "synthesized) or TPU.replay_signals (recorded raw-signal "
+            ".npz) — the replayed signal source standing in for a live "
+            "MinKNOW run"
         )
-    src = ReplaySource.from_fasta(
-        [config.tpu.replay_file],
-        channels=config.minknow.max_channel - config.minknow.min_channel + 1,
-        break_seconds=config.tpu.break_reads_after_seconds,
-    )
+    channels = config.minknow.max_channel - config.minknow.min_channel + 1
+    if config.tpu.replay_signals:
+        # recorded raw signal — the analog of the reference's bulk-FAST5
+        # playback run (reference README.md:266-323)
+        src = ReplaySource.from_signals(
+            config.tpu.replay_signals,
+            channels=channels,
+            break_seconds=config.tpu.break_reads_after_seconds,
+        )
+    else:
+        src = ReplaySource.from_fasta(
+            [config.tpu.replay_file],
+            channels=channels,
+            break_seconds=config.tpu.break_reads_after_seconds,
+        )
     from readbouncer_tpu.parallel.distributed import host_shard, process_count
 
     if process_count() > 1:

@@ -174,6 +174,57 @@ class ReplaySource:
         }
 
     @classmethod
+    def from_signals(
+        cls,
+        path: str | Path,
+        seed: int = 0,
+        **kw,
+    ) -> "ReplaySource":
+        """Replay RECORDED raw signal from an ``.npz`` archive.
+
+        The file-backed counterpart of the reference's MinKNOW playback
+        run (a simulated device replaying a recorded bulk FAST5,
+        reference README.md:266-323): each archive entry is one read —
+        key = read id, value = a 1-D float array of raw current samples
+        — streamed in archive order.  Channel assignment follows the
+        same round-robin queue as every other constructor
+        (``_fill_channels``).  Entries named ``<read_id>.seq`` are
+        optional uint8 ASCII ground-truth sequences (as written by
+        :func:`save_signals`), attached as ``true_seq`` for oracle
+        callers and accuracy scoring.
+        """
+        with np.load(path) as npz:
+            names = [n for n in npz.files if not n.endswith(".seq")]
+            reads = [
+                ReplayRead(
+                    read_id=name,
+                    signal=np.asarray(npz[name], dtype=np.float32).reshape(-1),
+                    true_seq=(
+                        bytes(np.asarray(npz[f"{name}.seq"], dtype=np.uint8)).decode()
+                        if f"{name}.seq" in npz.files
+                        else ""
+                    ),
+                )
+                for name in names
+            ]
+        return cls(reads=reads, seed=seed, **kw)
+
+    def save_signals(self, path: str | Path) -> Path:
+        """Write this source's queued reads to a ``from_signals`` ``.npz``
+        (signals + ``<id>.seq`` ground truth when present) — the
+        "record a run, replay it later" round trip."""
+        path = Path(path)
+        arrays: dict[str, np.ndarray] = {}
+        for r in self.reads:
+            arrays[r.read_id] = np.asarray(r.signal, dtype=np.float32)
+            if r.true_seq:
+                arrays[f"{r.read_id}.seq"] = np.frombuffer(
+                    r.true_seq.encode("ascii"), dtype=np.uint8
+                )
+        np.savez_compressed(path, **arrays)
+        return path
+
+    @classmethod
     def from_fasta(
         cls,
         paths: list[str | Path],

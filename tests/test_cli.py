@@ -127,6 +127,44 @@ replay_file = "{genome}/reads.fasta"
     assert (out_dir / "DepletedReads.fasta").exists()
 
 
+def test_cli_target_recorded_signals(genome, capsys):
+    """usage="target" with [TPU] replay_signals: the live run drives off
+    a recorded raw-signal .npz instead of FASTA-synthesized squiggles."""
+    from readbouncer_tpu.stream.replay import ReplaySource
+
+    npz = ReplaySource.from_fasta([genome / "reads.fasta"]).save_signals(
+        genome / "recorded.npz"
+    )
+    cfg = genome / "target_rec.toml"
+    cfg.write_text(
+        f'''
+usage = "target"
+output_directory = "{genome}/out_target_rec"
+log_directory = "{genome}/log_target_rec"
+
+[IBF]
+kmer_size = 13
+fragment_size = 2000
+target_files = ["{genome}/target.fasta"]
+deplete_files = ["{genome}/deplete.fasta"]
+exp_seq_error_rate = 0.1
+
+[Basecaller]
+caller = "Oracle"
+
+[TPU]
+batch_size = 16
+replay_signals = "{npz}"
+'''
+    )
+    assert main(["--config", str(cfg)]) == 0
+    out = capsys.readouterr().out
+    assert "classified reads" in out
+    out_dir = genome / "out_target_rec"
+    assert (out_dir / "read_until_decision_stats.csv").exists()
+    assert (out_dir / "DepletedReads.fasta").exists()
+
+
 def test_cli_test_usage(genome, capsys):
     cfg = genome / "conn.toml"
     cfg.write_text(

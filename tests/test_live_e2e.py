@@ -240,3 +240,47 @@ def test_chunk_classification_filter(world):
     assert 0 in idxs and 2 in idxs
     assert src.stats["chunks_filtered"] == 1
     assert seen[0].classification == CHUNK_CLASS_ADAPTER
+
+
+def test_recorded_signal_replay_round_trip(world, tmp_path):
+    """Recorded raw-signal ingestion (ReplaySource.from_signals): save a
+    run's signals to .npz, reload, run the live pipeline — identical
+    per-read decisions to the in-memory path.  The file-backed analog of
+    the reference's bulk-FAST5 MinKNOW playback run (README.md:266-323)."""
+    rng, host, target, host_ibf, target_ibf = world
+    reads = _mk_reads(np.random.default_rng(9), host, 3, 4000, "h") + _mk_reads(
+        np.random.default_rng(10), target, 3, 4000, "t"
+    )
+
+    npz = ReplaySource(reads=reads, channels=6).save_signals(
+        tmp_path / "recorded.npz"
+    )
+    reloaded = ReplaySource.from_signals(npz, channels=6)
+    # signals and ground truth survive the round trip bit-exactly, in order
+    assert [r.read_id for r in reloaded.reads] == [r.read_id for r in reads]
+    for a, b in zip(reloaded.reads, reads):
+        np.testing.assert_array_equal(a.signal, b.signal)
+        assert a.true_seq == b.true_seq
+
+    outcomes = {}
+    for tag, src in [
+        ("memory", ReplaySource(reads=_mk_reads(np.random.default_rng(9), host, 3, 4000, "h")
+                                + _mk_reads(np.random.default_rng(10), target, 3, 4000, "t"),
+                                channels=6)),
+        ("file", ReplaySource.from_signals(npz, channels=6)),
+    ]:
+        cfg = LiveConfig(batch_size=16)
+        sampler = AdaptiveSampler(
+            source=src,
+            basecaller=NearestLevelBasecaller(),
+            classifier=LiveClassifier([target_ibf], [host_ibf], cfg),
+            output_dir=tmp_path / tag,
+            cfg=cfg,
+        )
+        stats = sampler.run(max_ticks=100)
+        outcomes[tag] = {
+            r.read_id: ("unblocked" if r.unblocked else "stopped" if r.stopped else "ran")
+            for r in src.reads
+        }
+        assert stats.unblocked == 3
+    assert outcomes["memory"] == outcomes["file"]
