@@ -66,6 +66,10 @@ class BasecallerParams:
     # TPU rebuild: which DeepNano-blitz net to load (48/56/64/80/96)
     network: str = "48"
     weights_dir: str = ""
+    # rnn*.txt gate-group assignment ("zrn" | "rzn") — switches the
+    # documented interpretation ambiguity of the source-less prebuilt
+    # deepnano2 library without a code change (docs/BASECALLER.md)
+    gate_order: str = "zrn"
 
 
 @dataclass
@@ -193,6 +197,7 @@ class ConfigReader:
         self.basecaller.config = str(t.get("config", "dna_r9.4.1_450bps_fast"))
         self.basecaller.network = str(t.get("network", "48"))
         self.basecaller.weights_dir = str(t.get("weights_dir", ""))
+        self.basecaller.gate_order = str(t.get("gate_order", "zrn"))
 
     def read_tpu(self) -> None:
         t = self._raw.get("TPU", {})

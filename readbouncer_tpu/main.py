@@ -254,6 +254,7 @@ def run_target(config: ConfigReader, verbose: bool) -> int:
         basecaller = GRUBasecaller(
             network=config.basecaller.network,
             weights_dir=config.basecaller.weights_dir,
+            gate_order=config.basecaller.gate_order,
         )
         # max_frames sized for one chunk window (padded x64) from the
         # LOADED model's window/stride and the SOURCE's sample rate —

@@ -47,6 +47,9 @@ class GRUBasecaller(Basecaller):
     decoder: str = "greedy"  # or "beam"
     beam_size: int = 5
     beam_cut_threshold: float = 0.01
+    # rnn*.txt gate-group assignment: "zrn" | "rzn" (weights.py,
+    # docs/BASECALLER.md) — only meaningful for DeepNano-blitz nets
+    gate_order: str = "zrn"
 
     def __post_init__(self):
         """Resolve the network name to weights.
@@ -68,7 +71,8 @@ class GRUBasecaller(Basecaller):
             )
         else:
             w = load_deepnano_weights(
-                default_weights_path(self.network, self.weights_dir)
+                default_weights_path(self.network, self.weights_dir),
+                gate_order=self.gate_order,
             )
             self.model = GRUBasecallerModel(w, frame_stride=self.frame_stride)
 

@@ -91,7 +91,23 @@ def _read_tensors(path: Path) -> list[np.ndarray]:
     return tensors
 
 
-def load_deepnano_weights(path: str | Path) -> GRUWeights:
+def load_deepnano_weights(path: str | Path, gate_order: str = "zrn") -> GRUWeights:
+    """Parse an rnn*.txt net.
+
+    Each layer's 12 tensors come as one standalone gate group
+    {W, R, bi, bh} followed by a two-gate group {W, R, W, R, bi, bh, bi,
+    bh}.  ``gate_order`` names which GRU gates those groups hold — the
+    documented ambiguity of the source-less prebuilt library
+    (docs/BASECALLER.md):
+
+    * ``"zrn"`` (default): standalone = update gate z, pair = (r, n),
+    * ``"rzn"``: standalone = reset gate r, pair = (z, n).
+
+    Switchable from ``[Basecaller] gate_order`` so a real-signal run can
+    disambiguate without a code change.
+    """
+    if gate_order not in ("zrn", "rzn"):
+        raise WeightsError(f"gate_order must be 'zrn' or 'rzn', got {gate_order!r}")
     path = Path(path)
     t = _read_tensors(path)
     if len(t) != 52:
@@ -101,11 +117,15 @@ def load_deepnano_weights(path: str | Path) -> GRUWeights:
     layers = []
     idx = 2
     for _ in range(4):
-        wz, rz, biz, bhz = t[idx : idx + 4]
-        wr, rr, wn, rn = t[idx + 4 : idx + 8]
-        bir, bhr, bin_, bhn = t[idx + 8 : idx + 12]
-        for m in (wz, rz, wr, rr, wn, rn):
+        wa, ra, bia, bha = t[idx : idx + 4]  # standalone gate group
+        wb, rb, wn, rn = t[idx + 4 : idx + 8]  # paired group (+ n gate)
+        bib, bhb, bin_, bhn = t[idx + 8 : idx + 12]
+        for m in (wa, ra, wb, rb, wn, rn):
             assert m.shape == (H, H), m.shape
+        if gate_order == "zrn":
+            wz, rz, biz, bhz, wr, rr, bir, bhr = wa, ra, bia, bha, wb, rb, bib, bhb
+        else:  # "rzn": standalone group is the reset gate
+            wr, rr, bir, bhr, wz, rz, biz, bhz = wa, ra, bia, bha, wb, rb, bib, bhb
         layers.append(
             GRULayerWeights(wz, rz, biz, bhz, wr, rr, wn, rn, bir, bhr, bin_, bhn)
         )
