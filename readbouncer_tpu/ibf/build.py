@@ -27,7 +27,8 @@ The bit-setting hot loop has two implementations:
   hash + atomic scatter-OR in C++, fragments distributed over worker
   threads — the TPU-rebuild equivalent of the reference's reader+worker
   insert pipeline (src/IBF/IBFBuild.cpp:28,153-156).  ~100x the numpy
-  path; a 100 Mb genome builds in seconds (scripts/bench_build.py).
+  path; measured 22 Mb/s on this 2-core host — 51.2 Mb (the realistic
+  512 x 100 kb bench filter) in ~2.3 s (scripts/bench_build.py).
 * numpy fallback/oracle: `insert_sequence` computes all (row, word,
   bitmask) triples for a fragment in one shot and scatter-ORs them.
   Equivalence is asserted in tests/test_build.py.
