@@ -148,11 +148,11 @@ class ClassifyEngine:
         self._plan = _plan_stacks(self.targets, self.depletes)
         self._fused_cache: dict[tuple[int, int], object] = {}
 
-    def _fused_fn(self, n_chunks: int, attempt_offset: int):
+    def _fused_fn(self, n_chunks: int, attempt_offset: int, packing: str = "base243"):
         """Packed bulk-input program for n_chunks-wide batches."""
         from readbouncer_tpu.classify.fused import make_fused_classify_packed_fn
 
-        key = (n_chunks, attempt_offset)
+        key = (n_chunks, attempt_offset, packing)
         fn = self._fused_cache.get(key)
         if fn is None:
             fn = make_fused_classify_packed_fn(
@@ -165,6 +165,7 @@ class ClassifyEngine:
                 self.batch_size,
                 attempt_offset=attempt_offset,
                 plan=self._plan,
+                packing=packing,
             )
             self._fused_cache[key] = fn
         return fn
@@ -357,7 +358,7 @@ class _ClassifyJob:
     def __init__(self, engine: ClassifyEngine, seqs: list[str]):
         import jax
 
-        from readbouncer_tpu.classify.fused import pack5_np
+        from readbouncer_tpu.classify.fused import pack4_np, pack5_np
 
         self.engine = engine
         self.n = n = len(seqs)
@@ -368,14 +369,19 @@ class _ClassifyJob:
             return
 
         # encode everything once on host; each phase ships ONE packed
-        # array (pack5_np) and batch programs slice rows on device —
-        # per-batch H2D pays a ~0.1-0.4 s tunnel round trip, a bulk put
-        # amortizes to streaming bandwidth (scripts/transfer_probe.py).
-        # Pools are FLAT and padded to power-of-two byte buckets so the
-        # program shape (and its minutes-long server-side compile) does
-        # not depend on the input count.
+        # array and batch programs slice rows on device — per-batch H2D
+        # pays a ~0.1-0.4 s tunnel round trip, a bulk put amortizes to
+        # streaming bandwidth (scripts/transfer_probe.py).  Pure-ACGT
+        # pools (the common case: basecalled reads carry no N) pack
+        # 2 bits/base (pack4_np, 25% fewer bytes than base-243); any N
+        # in the batch falls back to base-243.  Pools are FLAT and
+        # padded to power-of-two byte buckets so the program shape (and
+        # its minutes-long server-side compile) does not depend on the
+        # input count.
         enc, lens = encode_batch(seqs, L)
         self.enc, self.lens = enc, lens
+        self.packing = "base243" if bool((enc > 3).any()) else "2bit"
+        self._pack = pack4_np if self.packing == "2bit" else pack5_np
         n_pad = -(-n // B) * B
         self.n_pad = n_pad
 
@@ -391,8 +397,8 @@ class _ClassifyJob:
         self._pool_put = pool_put
 
         # --- phase A: chunk 0 of every read ----------------------------
-        fn_a = engine._fused_fn(1, 0)
-        pk_a = pack5_np(enc[:, :cl])
+        fn_a = engine._fused_fn(1, 0, self.packing)
+        pk_a = self._pack(enc[:, :cl])
         if n_pad != n:
             pk_a = np.concatenate(
                 [pk_a, np.zeros((n_pad - n, pk_a.shape[1]), dtype=np.uint8)]
@@ -423,10 +429,17 @@ class _ClassifyJob:
 
     def finish(self):
         """Collect phase A, dispatch + collect phase B; returns
-        (classified[N] bool, best_target[N] int, attempts[N] int)."""
+        (classified[N] bool, best_target[N] int, attempts[N] int).
+
+        D2H discipline (the tunnel serializes transfers with compute and
+        charges ~25 ms per fetch): the mid-batch fetch pulls ONLY the
+        device-computed pending flags (1 B/read) to pick phase-B
+        candidates; the full packed result words (4 B/read, i32) of BOTH
+        phases come back in one final batched fetch.
+        """
         import jax
 
-        from readbouncer_tpu.classify.fused import pack5_np
+        from readbouncer_tpu.classify.fused import unpack_results_np
 
         n = self.n
         classified = np.zeros(n, dtype=bool)
@@ -439,54 +452,62 @@ class _ClassifyJob:
         B = engine.batch_size
         lens = self.lens
 
-        outs_a = jax.device_get(self.futs_a)  # one batched D2H round trip
-        ok_a = np.concatenate([np.asarray(o[0]) for o in outs_a])[:n]
-        classified[:] = ok_a
-        best[:] = np.concatenate([np.asarray(o[1]) for o in outs_a])[:n]
-        attempts[:] = np.concatenate([np.asarray(o[2]) for o in outs_a])[:n]
-        pidx = np.nonzero(~ok_a & (lens > cl))[0]
-        if pidx.size == 0:
-            return classified, best, attempts
+        # mid-batch fetch: pending flags only (phase-A results stay on
+        # device until the final merged fetch)
+        pend = jax.device_get([f[1] for f in self.futs_a])
+        pidx = np.nonzero(np.concatenate(pend)[:n])[0]
 
         # --- phase B: remaining chunks of unresolved reads --------------
-        plens = lens[pidx]
-        # bucket by chunks still to score (ceil(len/cl) - 1, capped at C-1)
-        n_rest = np.minimum(-(-plens // cl), C) - 1  # [U] in 1..C-1
         futs_b = []
-        for c_rest in np.unique(n_rest):
-            c_rest = int(c_rest)
-            sel = np.nonzero(n_rest == c_rest)[0]
-            u = sel.size
-            u_pad = -(-u // B) * B
-            if self.dev_ball is not None:
-                fn_b = engine._indexed_fn(c_rest, self.pool_words)
-                idx = np.zeros(u_pad, dtype=np.int32)
-                idx[:u] = pidx[sel]
-                dev_idx = self._pool_put(idx)
-                futs = [
-                    fn_b(self.dev_ball, self.dev_lb_all, dev_idx, s)
-                    for s in range(0, u_pad, B)
-                ]
-            else:
-                fn_b = engine._fused_fn(c_rest, 1)
-                pk_b = pack5_np(
-                    np.ascontiguousarray(self.enc[pidx[sel], cl : cl * (1 + c_rest)])
-                )
-                if u_pad != u:
-                    pk_b = np.concatenate(
-                        [pk_b, np.zeros((u_pad - u, pk_b.shape[1]), dtype=np.uint8)]
+        if pidx.size:
+            plens = lens[pidx]
+            # bucket by chunks still to score (ceil(len/cl)-1, cap C-1)
+            n_rest = np.minimum(-(-plens // cl), C) - 1  # [U] in 1..C-1
+            for c_rest in np.unique(n_rest):
+                c_rest = int(c_rest)
+                sel = np.nonzero(n_rest == c_rest)[0]
+                u = sel.size
+                u_pad = -(-u // B) * B
+                if self.dev_ball is not None:
+                    fn_b = engine._indexed_fn(c_rest, self.pool_words)
+                    idx = np.zeros(u_pad, dtype=np.int32)
+                    idx[:u] = pidx[sel]
+                    dev_idx = self._pool_put(idx)
+                    futs = [
+                        fn_b(self.dev_ball, self.dev_lb_all, dev_idx, s)
+                        for s in range(0, u_pad, B)
+                    ]
+                else:
+                    fn_b = engine._fused_fn(c_rest, 1, self.packing)
+                    pk_b = self._pack(
+                        np.ascontiguousarray(
+                            self.enc[pidx[sel], cl : cl * (1 + c_rest)]
+                        )
                     )
-                lb = np.zeros(u_pad, dtype=np.int32)
-                lb[:u] = plens[sel] - cl
-                dev_b = self._pool_put(pk_b)
-                dev_lb = self._pool_put(lb)
-                futs = [fn_b(dev_b, dev_lb, s) for s in range(0, u_pad, B)]
-            futs_b.append((pidx[sel], u, futs))
+                    if u_pad != u:
+                        pk_b = np.concatenate(
+                            [pk_b, np.zeros((u_pad - u, pk_b.shape[1]), dtype=np.uint8)]
+                        )
+                    lb = np.zeros(u_pad, dtype=np.int32)
+                    lb[:u] = plens[sel] - cl
+                    dev_b = self._pool_put(pk_b)
+                    dev_lb = self._pool_put(lb)
+                    futs = [fn_b(dev_b, dev_lb, s) for s in range(0, u_pad, B)]
+                futs_b.append((pidx[sel], u, futs))
+
+        # final merged fetch: phase A + phase B packed results, 1 trip
+        n_a = len(self.futs_a)
+        flat = [f[0] for f in self.futs_a] + [
+            f[0] for _, _, futs in futs_b for f in futs
+        ]
+        outs = jax.device_get(flat)
+        res_a = np.concatenate(outs[:n_a])[:n]
+        classified[:], best[:], attempts[:] = unpack_results_np(res_a)
+        pos = n_a
         for out_idx, u, futs in futs_b:
-            outs_b = jax.device_get(futs)
-            ok = np.concatenate([np.asarray(o[0]) for o in outs_b])[:u]
-            bb = np.concatenate([np.asarray(o[1]) for o in outs_b])[:u]
-            att = np.concatenate([np.asarray(o[2]) for o in outs_b])[:u]
+            res_b = np.concatenate(outs[pos : pos + len(futs)])[:u]
+            pos += len(futs)
+            ok, bb, att = unpack_results_np(res_b)
             classified[out_idx] = ok
             best[out_idx] = bb
             attempts[out_idx] = att

@@ -47,6 +47,10 @@ __all__ = [
     "make_fused_live_fn",
     "pack5_np",
     "unpack5_jnp",
+    "pack4_np",
+    "unpack4_jnp",
+    "packed_bytes_per_read",
+    "unpack_results_np",
 ]
 
 
@@ -72,6 +76,63 @@ def unpack5_jnp(packed: jnp.ndarray, length: int) -> jnp.ndarray:
     x = packed.astype(jnp.uint32)
     parts = jnp.stack([x % 5, (x // 5) % 5, x // 25], axis=-1)
     return parts.reshape(packed.shape[0], -1)[:, :length].astype(jnp.uint8)
+
+
+def pack4_np(enc: np.ndarray) -> np.ndarray:
+    """Pack PURE-ACGT base codes (u8 in 0..3) 4-per-byte (2 bits/base).
+
+    25% fewer H2D bytes than base-243 — the tunnel serializes transfers
+    with device compute, so pool bytes are wall-clock (docs/PERF_NOTES.md).
+    Only valid when the pool holds no N (code 4); the engine checks per
+    host batch and falls back to pack5_np (N reads are rare: basecalled
+    sequences are ACGT-only, Ns come only from FASTA/FASTQ inputs).
+    """
+    R, L = enc.shape
+    P = -(-L // 4)
+    if L % 4:
+        enc = np.pad(enc, ((0, 0), (0, 4 * P - L)))
+    e = enc.reshape(R, P, 4).astype(np.uint8)
+    return e[:, :, 0] | (e[:, :, 1] << 2) | (e[:, :, 2] << 4) | (e[:, :, 3] << 6)
+
+
+def unpack4_jnp(packed: jnp.ndarray, length: int) -> jnp.ndarray:
+    """Device inverse of pack4_np: [R, P] u8 -> [R, length] u8 codes."""
+    x = packed.astype(jnp.uint32)
+    parts = jnp.stack(
+        [x & 3, (x >> 2) & 3, (x >> 4) & 3, (x >> 6) & 3], axis=-1
+    )
+    return parts.reshape(packed.shape[0], -1)[:, :length].astype(jnp.uint8)
+
+
+def packed_bytes_per_read(length: int, packing: str) -> int:
+    """Pool row bytes for one read of ``length`` bases under ``packing``."""
+    if packing == "2bit":
+        return -(-length // 4)
+    if packing == "base243":
+        return -(-length // 3)
+    raise ValueError(f"unknown packing {packing!r}")
+
+
+def _unpack_for(packing: str):
+    return unpack4_jnp if packing == "2bit" else unpack5_jnp
+
+
+# result packing: the per-read (classified, best_target, attempts) triple
+# crosses D2H as ONE int32 — bit 0 classified, bits 1-8 attempts,
+# bits 9+ best_target+1.  3 arrays -> 1 and 9 B/read -> 4 B/read; on the
+# tunnel D2H bytes are serialized wall-clock like H2D.
+def _pack_result_jnp(classified, best, attempts):
+    return (
+        classified.astype(jnp.int32)
+        + (attempts.astype(jnp.int32) << 1)
+        + ((best.astype(jnp.int32) + 1) << 9)
+    )
+
+
+def unpack_results_np(res: np.ndarray):
+    """Host inverse of _pack_result_jnp -> (classified, best, attempts)."""
+    res = np.asarray(res)
+    return (res & 1).astype(bool), (res >> 9) - 1, (res >> 1) & 0xFF
 
 
 def threshold_table(
@@ -339,24 +400,33 @@ def make_fused_classify_packed_fn(
     batch_size: int,
     attempt_offset: int = 0,
     plan=None,
+    packing: str = "base243",
 ):
     """Bulk-upload variant of make_fused_classify_fn.
 
-    The engine uploads ONE packed array for a whole phase (pack5_np) and
+    The engine uploads ONE packed array for a whole phase (pack5_np, or
+    pack4_np for pure-ACGT pools — ``packing`` = "base243" | "2bit") and
     every batch program slices its rows on device — per-batch H2D costs
     ~110-420 ms on the tunnel (scripts/transfer_probe.py), one bulk put
     amortizes to ~12 MB/s.
 
     Returned fn: (packed_pool: FLAT u8 device array holding N_pad rows of
-                  ceil(C*cl/3) bytes (padded to a power-of-two bucket so
-                  pool size does not retrace the program),
+                  packed_bytes_per_read(C*cl, packing) bytes (padded to a
+                  power-of-two bucket so pool size does not retrace the
+                  program),
                   lens_pool: i32 device array (same bucketing),
                   start: int (row offset, traced))
-    -> (classified [B] bool, best_target [B] i32, attempts [B] i32).
+    -> (res [B] i32 — unpack_results_np, pending [B] bool).
+
+    ``pending`` marks reads this program left unresolved that have more
+    chunks to score (lens > C*cl past attempt_offset): the engine's
+    phase-B candidate set, computed on device so the mid-batch fetch is
+    1 byte/read instead of the full result triple.
     """
     cl, C, B = chunk_length, max_chunks, batch_size
     L = C * cl
-    P = -(-L // 3)
+    P = packed_bytes_per_read(L, packing)
+    unpack = _unpack_for(packing)
     plan = plan if plan is not None else _plan_stacks(targets, depletes)
     base_fn = _fused_core(
         targets, depletes, cl, C, error_rate, significance, attempt_offset, plan
@@ -365,8 +435,10 @@ def make_fused_classify_packed_fn(
     def fn(bits_args, packed_pool, lens_pool, start):
         seg = jax.lax.dynamic_slice(packed_pool, (start * P,), (B * P,))
         lens = jax.lax.dynamic_slice(lens_pool, (start,), (B,))
-        reads = unpack5_jnp(seg.reshape(B, P), L)
-        return base_fn(bits_args, reads, lens)
+        reads = unpack(seg.reshape(B, P), L)
+        classified, best, attempts = base_fn(bits_args, reads, lens)
+        pending = ~classified & (lens > jnp.int32(C * cl))
+        return _pack_result_jnp(classified, best, attempts), pending
 
     jfn = jax.jit(fn)
     bits_args = _bits_args(targets, depletes, plan)
@@ -423,7 +495,9 @@ def make_fused_classify_indexed_fn(
         packed = jax.lax.bitcast_convert_type(rows, jnp.uint8).reshape(B, PW * 4)
         lens = jnp.take(lens_pool, idx)
         reads = unpack5_jnp(packed, L)
-        return base_fn(bits_args, reads, lens)
+        classified, best, attempts = base_fn(bits_args, reads, lens)
+        pending = jnp.zeros_like(classified)  # phase B scores every rest chunk
+        return _pack_result_jnp(classified, best, attempts), pending
 
     jfn = jax.jit(fn)
     bits_args = _bits_args(targets, depletes, plan)

@@ -225,3 +225,65 @@ def test_pipelined_sequences_match_serial(filters):
         np.testing.assert_array_equal(c, c0)
         np.testing.assert_array_equal(b, b0)
         np.testing.assert_array_equal(a, a0)
+
+
+def test_pack4_unpack4_roundtrip():
+    import jax.numpy as jnp
+
+    from readbouncer_tpu.classify.fused import (
+        pack4_np,
+        pack5_np,
+        unpack4_jnp,
+        unpack5_jnp,
+    )
+
+    rng = np.random.default_rng(4)
+    enc = rng.integers(0, 4, size=(5, 251)).astype(np.uint8)
+    p4 = pack4_np(enc)
+    assert p4.shape == (5, -(-251 // 4))
+    np.testing.assert_array_equal(np.asarray(unpack4_jnp(jnp.asarray(p4), 251)), enc)
+    # base-243 agrees on the same codes
+    np.testing.assert_array_equal(
+        np.asarray(unpack5_jnp(jnp.asarray(pack5_np(enc)), 251)), enc
+    )
+
+
+def test_result_word_roundtrip():
+    import jax.numpy as jnp
+
+    from readbouncer_tpu.classify.fused import _pack_result_jnp, unpack_results_np
+
+    classified = jnp.asarray([True, False, True, False])
+    best = jnp.asarray([2, -1, 0, -1], dtype=jnp.int32)
+    attempts = jnp.asarray([1, 5, 3, 0], dtype=jnp.int32)
+    ok, b, a = unpack_results_np(np.asarray(_pack_result_jnp(classified, best, attempts)))
+    np.testing.assert_array_equal(ok, [True, False, True, False])
+    np.testing.assert_array_equal(b, [2, -1, 0, -1])
+    np.testing.assert_array_equal(a, [1, 5, 3, 0])
+
+
+def test_packing_fallback_on_n_reads(filters):
+    """A host batch containing any N falls back to base-243 packing;
+    decisions equal the pure-ACGT 2-bit path's oracle either way."""
+    genomes, tf, df = filters
+    rng = np.random.default_rng(77)
+    seqs = _mixed_reads(genomes, rng, n=24, length=600)
+    e = ClassifyEngine(tf, df, error_rate=0.1, chunk_length=250, max_chunks=3, batch_size=8)
+    job = e.classify_submit(seqs)
+    assert job.packing == "2bit"
+    want = job.finish()
+
+    # inject an N into ONE read: the whole batch reroutes to base-243
+    seqs_n = list(seqs)
+    seqs_n[5] = seqs_n[5][:100] + "N" + seqs_n[5][101:]
+    job_n = e.classify_submit(seqs_n)
+    assert job_n.packing == "base243"
+    got = job_n.finish()
+    # all reads except the mutated one decide identically
+    keep = np.ones(len(seqs), dtype=bool)
+    keep[5] = False
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(w[keep], g[keep])
+    # and the N-read matches the waves oracle
+    cw, bw, aw = e.classify_sequences_waves(seqs_n)
+    assert got[0][5] == cw[5] and got[1][5] == bw[5]
