@@ -74,6 +74,10 @@ class LiveConfig:
     # every decision by a full tick of wall time — usually the wrong
     # trade for adaptive sampling (BENCHMARKS.md live section).
     overlap_ticks: bool = False
+    # record a per-tick composition dict in LiveStats.tick_profile
+    # (chunk/item/long-bucket counts + stage times) — the p95-tail
+    # attribution used by scripts/bench_live.py; negligible overhead
+    profile_ticks: bool = False
 
 
 class LiveClassifier:
@@ -288,6 +292,8 @@ class LiveStats:
     # src/minknow/Data.cpp:404-421)
     actions_succeeded: int = 0
     actions_failed: int = 0
+    # per-tick composition records (LiveConfig.profile_ticks)
+    tick_profile: list = field(default_factory=list)
 
     def p50_latency(self) -> float:
         return float(np.median(self.tick_latencies)) if self.tick_latencies else 0.0
@@ -352,6 +358,7 @@ class AdaptiveSampler:
         self._decided: dict[str, int] = {}
         self._stop_requested = False
         self._bc_pending = None  # overlap_ticks: (chunks, basecall handle)
+        self._tick_prof: dict = {}
         self.depleted_writer = FastaWriter(self.output_dir / "DepletedReads.fasta")
         self.target_writer = FastaWriter(self.output_dir / "TargetReads.fasta")
 
@@ -413,7 +420,15 @@ class AdaptiveSampler:
         if not items:
             return
         t0 = time.monotonic()
-        decisions = self.classifier.decide([full for _, _, full, _ in items])
+        fulls = [full for _, _, full, _ in items]
+        if self.cfg.profile_ticks:
+            short_len = getattr(self.classifier, "short_len", 512)
+            self._tick_prof.update(
+                items=len(items),
+                long_items=sum(1 for f in fulls if len(f) > short_len),
+                retry_items=sum(1 for it in items if it[3] > 0),
+            )
+        decisions = self.classifier.decide(fulls)
         for (c, s, full, iterstep), d in zip(items, decisions):
             if d == DECISION_UNBLOCK:
                 self._emit(c, full, True)
@@ -425,6 +440,8 @@ class AdaptiveSampler:
             else:
                 self.once_seen[c.read_id] = (full, iterstep + 1)
         cl_dt = time.monotonic() - t0
+        if self.cfg.profile_ticks:
+            self._tick_prof["classify_ms"] = cl_dt * 1e3
         self.stats.classify_seconds += cl_dt
         for c, _, _, _ in items:  # batch-attributed classify span
             tm = self.measures.get(c.read_id)
@@ -488,14 +505,23 @@ class AdaptiveSampler:
             if chunks or had_pending:
                 self.stats.tick_latencies.append(time.monotonic() - t_tick)
         elif chunks:
+            if self.cfg.profile_ticks:
+                self._tick_prof = {"chunks": len(chunks)}
             t0 = time.monotonic()
             seqs = self.basecaller.basecall([c.signal for c in chunks])
             bc_dt = time.monotonic() - t0
+            if self.cfg.profile_ticks:
+                self._tick_prof["basecall_ms"] = bc_dt * 1e3
             self.stats.basecall_seconds += bc_dt
             for c in chunks:  # batch-attributed per-read basecall span
                 self.measures[c.read_id].basecall.add(bc_dt / len(chunks))
             self._process_basecalled(chunks, seqs)
-            self.stats.tick_latencies.append(time.monotonic() - t_tick)
+            lat = time.monotonic() - t_tick
+            self.stats.tick_latencies.append(lat)
+            if self.cfg.profile_ticks:
+                self._tick_prof["latency_ms"] = lat * 1e3
+                self.stats.tick_profile.append(self._tick_prof)
+                self._tick_prof = {}
         self.sender.flush()
         self.interval.maybe_dump(
             {

@@ -72,7 +72,7 @@ def main():
     ]
 
     src = ReplaySource(reads=reads, channels=args.channels)
-    cfg = LiveConfig(batch_size=args.batch)
+    cfg = LiveConfig(batch_size=args.batch, profile_ticks=True)
     if args.caller == "oracle":
         basecaller = NearestLevelBasecaller()
     else:
@@ -115,6 +115,27 @@ def main():
     lat = np.array(stats.tick_latencies[1:] or [0.0])  # skip compile tick
     budget = 0.4  # break_reads_after_seconds (adaptive_sampling.hpp:634)
     print(stats.report())
+
+    # p95-tail attribution: composition of the slowest ticks vs the rest
+    prof = stats.tick_profile[1:]
+    if prof:
+        p95 = float(np.percentile([p["latency_ms"] for p in prof], 95))
+        tail = [p for p in prof if p["latency_ms"] >= p95]
+        body = [p for p in prof if p["latency_ms"] < p95]
+
+        def comp(ps, key):
+            vals = [p.get(key, 0) for p in ps]
+            return round(float(np.mean(vals)), 1) if vals else 0.0
+
+        for name, ps in (("tail(>=p95)", tail), ("body", body)):
+            print(
+                f"# {name}: n={len(ps)} "
+                f"lat={comp(ps,'latency_ms')}ms "
+                f"bc={comp(ps,'basecall_ms')}ms cl={comp(ps,'classify_ms')}ms "
+                f"chunks={comp(ps,'chunks')} items={comp(ps,'items')} "
+                f"long={comp(ps,'long_items')} retry={comp(ps,'retry_items')}",
+                flush=True,
+            )
     print(
         json.dumps(
             {

@@ -76,7 +76,9 @@ def fmix32(z):
 
 
 def umulhi(a, b):
-    return jax.lax.mul_high(a.astype(jnp.uint32), jnp.uint32(b))
+    from readbouncer_tpu.ibf.query import umulhi_u32
+
+    return umulhi_u32(a.astype(jnp.uint32), b)
 
 
 def bloom_and(tab, codes):
