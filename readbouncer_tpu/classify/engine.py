@@ -264,12 +264,13 @@ class ClassifyEngine:
         """classify_sequences over pipelined host batches.
 
         Splits ``seqs`` into host batches and keeps ``depth`` submitted
-        jobs in flight: batch i+1's encode/pack/H2D/phase-A dispatch
-        happens while the device computes batch i, and each finish()'s
-        phase-B dispatch rides behind the already-queued phase A of the
-        next batches — the device never waits for host packing.
-        Identical results to classify_sequences (same per-read
-        decisions; batches are independent).
+        jobs in flight as a 3-stage pipeline — submit(i) →
+        dispatch_b(i-1) → collect(i-2): batch i+1's encode/pack/H2D/
+        phase-A dispatch happens while the device computes batch i, and
+        batch i's phase-B programs are enqueued BEFORE batch i-1's final
+        result fetch is paid, so the device queue never drains across
+        host-batch seams.  Identical results to classify_sequences (same
+        per-read decisions; batches are independent).
         """
         from collections import deque
 
@@ -290,6 +291,8 @@ class ClassifyEngine:
             in_flight.append(
                 (self.classify_submit(seqs[start : start + host_batch_reads]), start)
             )
+            if len(in_flight) >= 2:
+                in_flight[-2][0].dispatch_b()
             while len(in_flight) > max(1, depth):
                 drain_one()
         while in_flight:
@@ -427,30 +430,22 @@ class _ClassifyJob:
             self.dev_ball = pool_put(pk_all.reshape(-1).view(np.dtype("<u4")))
             self.dev_lb_all = pool_put(np.maximum(lens.astype(np.int32) - cl, 0))
 
-    def finish(self):
-        """Collect phase A, dispatch + collect phase B; returns
-        (classified[N] bool, best_target[N] int, attempts[N] int).
+    def dispatch_b(self):
+        """Fetch pending flags, dispatch phase B (idempotent).
 
-        D2H discipline (the tunnel serializes transfers with compute and
-        charges ~25 ms per fetch): the mid-batch fetch pulls ONLY the
-        device-computed pending flags (1 B/read) to pick phase-B
-        candidates; the full packed result words (4 B/read, i32) of BOTH
-        phases come back in one final batched fetch.
+        Split out of finish() so a pipelined driver can enqueue batch
+        i's phase-B programs BEFORE paying batch i-1's final result
+        fetch — the device queue stays full across host-batch seams.
         """
         import jax
 
-        from readbouncer_tpu.classify.fused import unpack_results_np
-
-        n = self.n
-        classified = np.zeros(n, dtype=bool)
-        best = np.full(n, -1, dtype=np.int64)
-        attempts = np.zeros(n, dtype=np.int64)
-        if n == 0:
-            return classified, best, attempts
+        if self.n == 0 or getattr(self, "futs_b", None) is not None:
+            return
         engine = self.engine
         cl, C = engine.chunk_length, engine.max_chunks
         B = engine.batch_size
         lens = self.lens
+        n = self.n
 
         # mid-batch fetch: pending flags only (phase-A results stay on
         # device until the final merged fetch)
@@ -494,6 +489,30 @@ class _ClassifyJob:
                     dev_lb = self._pool_put(lb)
                     futs = [fn_b(dev_b, dev_lb, s) for s in range(0, u_pad, B)]
                 futs_b.append((pidx[sel], u, futs))
+        self.futs_b = futs_b
+
+    def finish(self):
+        """Collect both phases; returns (classified[N] bool,
+        best_target[N] int, attempts[N] int).
+
+        D2H discipline (the tunnel serializes transfers with compute and
+        charges ~25 ms per fetch): dispatch_b's mid-batch fetch pulls
+        ONLY the device-computed pending flags (1 B/read); the full
+        packed result words (4 B/read, i32) of BOTH phases come back in
+        one final batched fetch here.
+        """
+        import jax
+
+        from readbouncer_tpu.classify.fused import unpack_results_np
+
+        n = self.n
+        classified = np.zeros(n, dtype=bool)
+        best = np.full(n, -1, dtype=np.int64)
+        attempts = np.zeros(n, dtype=np.int64)
+        if n == 0:
+            return classified, best, attempts
+        self.dispatch_b()
+        futs_b = self.futs_b
 
         # final merged fetch: phase A + phase B packed results, 1 trip
         n_a = len(self.futs_a)
@@ -664,6 +683,11 @@ def classify_read_files(
         if not seqs:
             return
         in_flight.append((engine.classify_submit(seqs), ids, seqs))
+        if len(in_flight) >= 2:
+            # 3-stage pipeline: enqueue the previous batch's phase B
+            # before paying any final result fetch (see
+            # classify_sequences_pipelined)
+            in_flight[-2][0].dispatch_b()
         while len(in_flight) >= depth + 1:
             write_outputs(*in_flight.popleft())
 
