@@ -100,8 +100,22 @@ def reads_from(rng, genome: str, n: int, length: int) -> list[str]:
 
 
 def main() -> None:
+    import argparse
+
     from readbouncer_tpu.classify.engine import ClassifyEngine
     from readbouncer_tpu.ibf.params import IBFParams
+
+    global BATCH_SIZE, HOST_BATCH, PIPELINE_DEPTH
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=BATCH_SIZE)
+    ap.add_argument("--host-batch", type=int, default=HOST_BATCH)
+    ap.add_argument("--depth", type=int, default=PIPELINE_DEPTH)
+    ap.add_argument(
+        "--force-mode", choices=["auto", "pipelined", "single_pool"], default="auto",
+        help="override the congestion-probe fallback (sweeps only)",
+    )
+    args = ap.parse_args()
+    BATCH_SIZE, HOST_BATCH, PIPELINE_DEPTH = args.batch, args.host_batch, args.depth
 
     rng = np.random.default_rng(42)
     params = IBFParams(kmer_size=13, fragment_length=100_000)
@@ -132,7 +146,9 @@ def main() -> None:
     probe_s = engine.probe_transfer_seconds()
     host_batch, depth = (HOST_BATCH, PIPELINE_DEPTH)
     transfer_mode = "pipelined"
-    if probe_s >= 0.08:
+    if (args.force_mode == "single_pool") or (
+        args.force_mode == "auto" and probe_s >= 0.08
+    ):
         host_batch, depth = N_READS, 1
         transfer_mode = "single_pool"  # congested link: fewer round trips
     print(f"# transfer probe: {probe_s*1e3:.0f} ms for 0.5 MB -> "
