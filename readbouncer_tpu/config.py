@@ -96,6 +96,10 @@ class TPUParams:
     # live cross-tick pipelining: basecall(t) collected during tick t+1
     # (hides transfers, delays decisions one tick — see BENCHMARKS.md)
     overlap_ticks: bool = False
+    # extra live length bucket between 512 and max_seq_len (0 = off):
+    # trims the once_seen-retry p95 tail at the cost of one more
+    # program compile at startup (stream/scheduler.LiveConfig.mid_len)
+    live_mid_len: int = 0
     replay_file: str = ""  # FASTA replay source (squiggles synthesized)
     # recorded raw-signal replay: an .npz of per-read float sample
     # arrays (ReplaySource.from_signals) — the stand-in for the

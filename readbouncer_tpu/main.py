@@ -272,6 +272,7 @@ def run_target(config: ConfigReader, verbose: bool) -> int:
         significance=config.tpu.significance,
         batch_size=config.tpu.batch_size,
         overlap_ticks=config.tpu.overlap_ticks,
+        mid_len=config.tpu.live_mid_len,
     )
     sampler = AdaptiveSampler(
         source,

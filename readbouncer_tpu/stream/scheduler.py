@@ -64,6 +64,13 @@ class LiveConfig:
     significance: float = 0.95
     max_seq_len: int = 2048  # static device shape for live sequences
     batch_size: int = 512  # static device batch
+    # extra length bucket between the short (512) and long (max_seq_len)
+    # programs: once_seen FIRST retries carry ~700-1100 bp concatenated
+    # sequences, and padding them to max_seq_len doubles their window
+    # count — the live p95 tail (BENCHMARKS.md).  0 disables (two
+    # buckets, the r3/r4 behavior); each extra bucket costs one more
+    # program compile at startup.
+    mid_len: int = 0
     basecall_min_len: int = 250  # DeepNanoBasecaller.cpp:52
     give_up_len: int = 1500  # adaptive_sampling.hpp:315
     interval_seconds: float = 60.0
@@ -105,29 +112,30 @@ class LiveClassifier:
 
         plan = _plan_stacks(self.targets, self.depletes)
         self.short_len = min(512, cfg.max_seq_len)
-        self._fused_short = make_fused_live_fn(
-            self.targets,
-            self.depletes,
-            self.short_len,
-            cfg.error_rate,
-            cfg.significance,
-            packed=True,
-            plan=plan,
-        )
-        self._fused_long = (
-            make_fused_live_fn(
+        widths = [self.short_len]
+        if 0 < cfg.mid_len < cfg.max_seq_len and cfg.mid_len > self.short_len:
+            widths.append(cfg.mid_len)
+        if cfg.max_seq_len > widths[-1]:
+            widths.append(cfg.max_seq_len)
+        self.bucket_lens = widths
+        self._fused = {
+            w: make_fused_live_fn(
                 self.targets,
                 self.depletes,
-                cfg.max_seq_len,
+                w,
                 cfg.error_rate,
                 cfg.significance,
                 packed=True,
                 plan=plan,
             )
-            if cfg.max_seq_len > self.short_len
-            else self._fused_short
-        )
-        self.long_batch = max(32, cfg.batch_size // 4)
+            for w in widths
+        }
+        # batch sizes scale inversely with width so every bucket's
+        # program covers ~the same window count per launch
+        self._batch = {
+            w: max(32, cfg.batch_size * self.short_len // w) for w in widths
+        }
+        self.long_batch = self._batch[widths[-1]]
 
     def _dispatch(self, seqs, idx, width, batch, fn, futures):
         from readbouncer_tpu.classify.fused import pack5_np
@@ -144,15 +152,13 @@ class LiveClassifier:
             return np.zeros(0, dtype=np.int64)
         out = np.zeros(len(seqs), dtype=np.int64)
         lens = np.array([len(s) for s in seqs])
-        short = np.nonzero(lens <= self.short_len)[0]
-        long = np.nonzero(lens > self.short_len)[0]
         futures: list = []
-        self._dispatch(
-            seqs, short, self.short_len, self.cfg.batch_size, self._fused_short, futures
-        )
-        self._dispatch(
-            seqs, long, self.cfg.max_seq_len, self.long_batch, self._fused_long, futures
-        )
+        lo = -1  # first bucket includes empty sequences
+        for w in self.bucket_lens:
+            hi = w if w != self.bucket_lens[-1] else np.inf
+            idx = np.nonzero((lens > lo) & (lens <= hi))[0]
+            lo = w
+            self._dispatch(seqs, idx, w, self._batch[w], self._fused[w], futures)
         import jax
 
         # ONE batched fetch: each np.asarray costs a full tunnel round

@@ -39,6 +39,10 @@ def main():
     # frames per 0.4 s chunk: (1600 - 66)//5 + 1 = 307, padded to a
     # multiple of 64 — the default 2048 would pad every tick 6.7x
     ap.add_argument("--max-frames", type=int, default=320)
+    ap.add_argument(
+        "--mid-len", type=int, default=0,
+        help="extra length bucket between 512 and 2048 (LiveConfig.mid_len)",
+    )
     args = ap.parse_args()
 
     from bench import get_filters, reads_from
@@ -72,7 +76,9 @@ def main():
     ]
 
     src = ReplaySource(reads=reads, channels=args.channels)
-    cfg = LiveConfig(batch_size=args.batch, profile_ticks=True)
+    cfg = LiveConfig(
+        batch_size=args.batch, profile_ticks=True, mid_len=args.mid_len
+    )
     if args.caller == "oracle":
         basecaller = NearestLevelBasecaller()
     else:
@@ -93,7 +99,9 @@ def main():
         # first tick, the long one only on the first once_seen retry —
         # mid-run server-side compiles cost minutes on the tunnel)
         t0 = time.monotonic()
-        sampler.classifier.decide(["ACGT" * 100, "ACGT" * 500])
+        sampler.classifier.decide(
+            ["ACGT" * (w // 4) for w in sampler.classifier.bucket_lens]
+        )
         print(f"# classifier warmup (compiles): {time.monotonic()-t0:.1f}s", flush=True)
         if args.caller != "oracle":
             # warm every power-of-two GRU batch bucket the run will hit

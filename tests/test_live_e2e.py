@@ -284,3 +284,25 @@ def test_recorded_signal_replay_round_trip(world, tmp_path):
         }
         assert stats.unblocked == 3
     assert outcomes["memory"] == outcomes["file"]
+
+
+def test_live_classifier_mid_bucket_same_decisions(world):
+    """The opt-in mid length bucket (LiveConfig.mid_len) must not change
+    any decision — only which compiled program width serves a read."""
+    from readbouncer_tpu.stream.scheduler import LiveClassifier, LiveConfig
+
+    rng, host, target, host_ibf, target_ibf = world
+    seqs = [
+        target[100:450],      # short bucket
+        host[200:550],        # short
+        target[500:1400],     # mid (900)
+        host[1000:2100],      # mid/long boundary (1100)
+        target[0:1900],       # long
+        "",                   # empty: must not be dropped by bucketing
+    ]
+    two = LiveClassifier([target_ibf], [host_ibf], LiveConfig(batch_size=8))
+    three = LiveClassifier(
+        [target_ibf], [host_ibf], LiveConfig(batch_size=8, mid_len=1024)
+    )
+    assert three.bucket_lens == [512, 1024, 2048]
+    np.testing.assert_array_equal(two.decide(seqs), three.decide(seqs))
