@@ -43,6 +43,12 @@ def main():
         "--mid-len", type=int, default=0,
         help="extra length bucket between 512 and 2048 (LiveConfig.mid_len)",
     )
+    ap.add_argument(
+        "--random-frac", type=float, default=0.0,
+        help="fraction of reads drawn from no genome (unclassifiable): "
+        "they retry through once_seen up to the 1500 bp give-up, "
+        "exercising the concat/mid/long-bucket path every tick",
+    )
     args = ap.parse_args()
 
     from bench import get_filters, reads_from
@@ -60,11 +66,18 @@ def main():
     targets, depletes = filters[:3], filters[3:]
 
     rng = np.random.default_rng(7)
-    n_t = args.reads // 2
-    n_d = args.reads - n_t
+    n_r = int(args.reads * args.random_frac)
+    n_t = (args.reads - n_r) // 2
+    n_d = args.reads - n_r - n_t
     seqs = reads_from(rng, genomes[0], n_t, args.read_bases) + reads_from(
         rng, genomes[3], n_d, args.read_bases
     )
+    if n_r:
+        from bench import synth_genome
+
+        seqs += reads_from(
+            rng, synth_genome(rng, 1_000_000), n_r, args.read_bases
+        )
     order = rng.permutation(len(seqs))
     reads = [
         ReplayRead(
