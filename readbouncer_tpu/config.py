@@ -251,6 +251,17 @@ class ConfigReader:
             f'caller = "{self.basecaller.caller}"',
             f"threads = {self.basecaller.threads}",
             f'network = "{self.basecaller.network}"',
+            f'gate_order = "{self.basecaller.gate_order}"',
+            "",
+            "[TPU]",
         ]
+        for name in vars(self.tpu):
+            v = getattr(self.tpu, name)
+            if isinstance(v, bool):
+                lines.append(f"{name} = {str(v).lower()}")
+            elif isinstance(v, str):
+                lines.append(f'{name} = "{v}"')
+            else:
+                lines.append(f"{name} = {v}")
         out.write_text("\n".join(lines) + "\n")
         return out
