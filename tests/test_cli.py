@@ -245,3 +245,18 @@ def test_cli_update_missing_inputs(genome, tmp_path):
     )
     with pytest.raises(MissingInputError):
         main(["--config", str(cfg)])
+
+
+def test_configlog_is_valid_toml_with_tpu_table(genome):
+    """configLog.toml (the reference's effective-config echo,
+    src/config/configReader.cpp:98-200) must parse as TOML and include
+    the rebuild's [TPU] table and gate_order."""
+    import tomllib
+
+    parsed = tomllib.loads(
+        (genome / "log_build" / "configLog.toml").read_text()
+    )
+    assert parsed["usage"] == "build"
+    assert parsed["TPU"]["batch_size"] >= 1
+    assert parsed["TPU"]["overlap_ticks"] is False
+    assert parsed["Basecaller"]["gate_order"] in ("zrn", "rzn")
