@@ -129,6 +129,11 @@ class ClassifyEngine:
         self.error_rate = error_rate
         self.significance = significance
         self.chunk_length = chunk_length
+        if not 0 < max_chunks < 255:
+            # the packed result word gives attempts 8 bits
+            # (classify/fused._pack_result_jnp); the reference default
+            # is 5 (src/config/configReader.cpp:238-243)
+            raise ValueError(f"max_chunks must be in [1, 254], got {max_chunks}")
         self.max_chunks = max_chunks
         self.batch_size = batch_size
         # overlap_pool=True uploads the full phase-B candidate pool while

@@ -220,14 +220,21 @@ class ConfigReader:
         return self
 
     # -- effective-config echo ------------------------------------------
+    @staticmethod
+    def _toml_str(v) -> str:
+        """Double-quoted TOML string with backslashes/quotes escaped."""
+        s = str(v).replace("\\", "\\\\").replace('"', '\\"')
+        return f'"{s}"'
+
     def create_log(self) -> Path:
         """Write configLog.toml with the effective settings
         (reference: src/config/configReader.cpp:98-200)."""
+        q = self._toml_str
         out = self.log_dir / "configLog.toml"
         lines = [
-            f'usage = "{self.usage}"',
-            f'output_directory = "{self.output_dir}"',
-            f'log_directory = "{self.log_dir}"',
+            f"usage = {q(self.usage)}",
+            f"output_directory = {q(self.output_dir)}",
+            f"log_directory = {q(self.log_dir)}",
             "",
             "[IBF]",
             f"kmer_size = {self.ibf.kmer_size}",
@@ -236,22 +243,22 @@ class ConfigReader:
             f"exp_seq_error_rate = {self.ibf.error_rate}",
             f"chunk_length = {self.ibf.chunk_length}",
             f"max_chunks = {self.ibf.max_chunks}",
-            f"target_files = {[str(p) for p in self.ibf.target_files]!r}",
-            f"deplete_files = {[str(p) for p in self.ibf.deplete_files]!r}",
-            f"read_files = {[str(p) for p in self.ibf.read_files]!r}",
-            f'update_filter = "{self.ibf.update_filter or ""}"',
+            f"target_files = [{', '.join(q(p) for p in self.ibf.target_files)}]",
+            f"deplete_files = [{', '.join(q(p) for p in self.ibf.deplete_files)}]",
+            f"read_files = [{', '.join(q(p) for p in self.ibf.read_files)}]",
+            f"update_filter = {q(self.ibf.update_filter or '')}",
             "",
             "[MinKNOW]",
-            f'host = "{self.minknow.host}"',
-            f'port = "{self.minknow.port}"',
-            f'flowcell = "{self.minknow.flowcell}"',
+            f"host = {q(self.minknow.host)}",
+            f"port = {q(self.minknow.port)}",
+            f"flowcell = {q(self.minknow.flowcell)}",
             f"channels = [{self.minknow.min_channel}, {self.minknow.max_channel}]",
             "",
             "[Basecaller]",
-            f'caller = "{self.basecaller.caller}"',
+            f"caller = {q(self.basecaller.caller)}",
             f"threads = {self.basecaller.threads}",
-            f'network = "{self.basecaller.network}"',
-            f'gate_order = "{self.basecaller.gate_order}"',
+            f"network = {q(self.basecaller.network)}",
+            f"gate_order = {q(self.basecaller.gate_order)}",
             "",
             "[TPU]",
         ]
@@ -260,7 +267,7 @@ class ConfigReader:
             if isinstance(v, bool):
                 lines.append(f"{name} = {str(v).lower()}")
             elif isinstance(v, str):
-                lines.append(f'{name} = "{v}"')
+                lines.append(f"{name} = {q(v)}")
             else:
                 lines.append(f"{name} = {v}")
         out.write_text("\n".join(lines) + "\n")

@@ -127,6 +127,14 @@ class RemoteBasecaller(Basecaller):
         out: dict[int, str] = {}
         pending = 0
         for sig in signals:
+            # flow control: at most batch_size requests outstanding (the
+            # reference client's submission-batch bound,
+            # GuppyBasecaller.hpp:34) — bounds the server-side queue and
+            # both sockets' buffered bytes
+            while pending >= self.batch_size:
+                resp = self._recv_line(sock)
+                out[int(resp["tag"])] = str(resp["seq"])
+                pending -= 1
             tag = self._next_tag
             self._next_tag += 1
             tags.append(tag)

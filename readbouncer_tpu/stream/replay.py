@@ -188,20 +188,24 @@ class ReplaySource:
         key = read id, value = a 1-D float array of raw current samples
         — streamed in archive order.  Channel assignment follows the
         same round-robin queue as every other constructor
-        (``_fill_channels``).  Entries named ``<read_id>.seq`` are
+        (``_fill_channels``).  Entries named ``__seq__/<read_id>`` are
         optional uint8 ASCII ground-truth sequences (as written by
         :func:`save_signals`), attached as ``true_seq`` for oracle
-        callers and accuracy scoring.
+        callers and accuracy scoring — a reserved PREFIX, so no legal
+        read id (which would have to start with ``__seq__/``) can be
+        mistaken for a ground-truth entry.
         """
         with np.load(path) as npz:
-            names = [n for n in npz.files if not n.endswith(".seq")]
+            names = [n for n in npz.files if not n.startswith("__seq__/")]
             reads = [
                 ReplayRead(
                     read_id=name,
                     signal=np.asarray(npz[name], dtype=np.float32).reshape(-1),
                     true_seq=(
-                        bytes(np.asarray(npz[f"{name}.seq"], dtype=np.uint8)).decode()
-                        if f"{name}.seq" in npz.files
+                        bytes(
+                            np.asarray(npz[f"__seq__/{name}"], dtype=np.uint8)
+                        ).decode()
+                        if f"__seq__/{name}" in npz.files
                         else ""
                     ),
                 )
@@ -211,14 +215,19 @@ class ReplaySource:
 
     def save_signals(self, path: str | Path) -> Path:
         """Write this source's queued reads to a ``from_signals`` ``.npz``
-        (signals + ``<id>.seq`` ground truth when present) — the
+        (signals + ``__seq__/<id>`` ground truth when present) — the
         "record a run, replay it later" round trip."""
         path = Path(path)
         arrays: dict[str, np.ndarray] = {}
         for r in self.reads:
+            if r.read_id.startswith("__seq__/"):
+                raise ValueError(
+                    f"read id {r.read_id!r} collides with the reserved "
+                    "__seq__/ ground-truth namespace"
+                )
             arrays[r.read_id] = np.asarray(r.signal, dtype=np.float32)
             if r.true_seq:
-                arrays[f"{r.read_id}.seq"] = np.frombuffer(
+                arrays[f"__seq__/{r.read_id}"] = np.frombuffer(
                     r.true_seq.encode("ascii"), dtype=np.uint8
                 )
         np.savez_compressed(path, **arrays)

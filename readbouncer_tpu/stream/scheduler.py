@@ -464,6 +464,8 @@ class AdaptiveSampler:
         t0 = time.monotonic()
         seqs = self.basecaller.basecall_collect(handle)
         bc_dt = time.monotonic() - t0
+        if self.cfg.profile_ticks:
+            self._tick_prof["basecall_ms"] = bc_dt * 1e3
         self.stats.basecall_seconds += bc_dt
         for c in pchunks:
             tm = self.measures.get(c.read_id)
@@ -476,6 +478,19 @@ class AdaptiveSampler:
         t_tick = time.monotonic()
         chunks = self.source.tick()
         self.stats.ticks += 1
+        if self._decided:
+            # drop stale chunks of already-decided reads at CAPTURE time:
+            # they must not re-create measures entries (a leak — _emit
+            # already popped them) nor count into channel stats.  The
+            # guard inside _process_basecalled still covers overlap mode,
+            # where a chunk is captured before the same step's decision.
+            kept = []
+            for c in chunks:
+                if c.read_id in self._decided:
+                    self.pending_bc.pop(c.read_id, None)
+                else:
+                    kept.append(c)
+            chunks = kept
         if self.stats.ticks % 64 == 0 and self._decided:
             # bound the decided-read guard: an action applies within a
             # few paced flushes (adaptive batch grows with backlog), so
@@ -499,6 +514,8 @@ class AdaptiveSampler:
             # dispatch tick t's basecall, decide tick t-1's reads while
             # the device chews on it (cross-tick pipelining; opt-in —
             # see LiveConfig.overlap_ticks)
+            if self.cfg.profile_ticks:
+                self._tick_prof = {"chunks": len(chunks)}
             handle = (
                 self.basecaller.basecall_submit([c.signal for c in chunks])
                 if chunks
@@ -509,7 +526,12 @@ class AdaptiveSampler:
             if handle is not None:
                 self._bc_pending = (chunks, handle)
             if chunks or had_pending:
-                self.stats.tick_latencies.append(time.monotonic() - t_tick)
+                lat = time.monotonic() - t_tick
+                self.stats.tick_latencies.append(lat)
+                if self.cfg.profile_ticks:
+                    self._tick_prof["latency_ms"] = lat * 1e3
+                    self.stats.tick_profile.append(self._tick_prof)
+                    self._tick_prof = {}
         elif chunks:
             if self.cfg.profile_ticks:
                 self._tick_prof = {"chunks": len(chunks)}
