@@ -184,3 +184,20 @@ def test_gate_order_validation():
 
     with pytest.raises(WeightsError):
         load_deepnano_weights(WEIGHTS, gate_order="nrz")
+
+
+def test_basecall_split_batches_equal_unsplit():
+    """The burst-tick half-batch split (GRUBasecaller.split_threshold)
+    must produce per-read outputs identical to one whole-batch call
+    (precision='highest' keeps the forward batch-invariant)."""
+    from readbouncer_tpu.models.basecaller import GRUBasecaller
+    from readbouncer_tpu.stream.replay import sequence_to_signal
+
+    rng = np.random.default_rng(8)
+    seqs = ["".join("ACGT"[i] for i in rng.integers(0, 4, 120)) for _ in range(9)]
+    sigs = [sequence_to_signal(s, rng=rng) for s in seqs]
+    bc = GRUBasecaller(network="48", max_frames=256)
+    whole = bc.basecall(sigs)
+    bc.split_threshold = 4  # force the split path
+    split = bc.basecall(sigs)
+    assert whole == split
