@@ -670,6 +670,8 @@ def classify_read_files(
 
     in_flight: deque = deque()  # (job, ids, seqs)
 
+    processed = [0]  # reads through finished host batches (interval log)
+
     def write_outputs(job, ids, seqs):
         classified, best, _ = job.finish()
         for j in range(len(seqs)):
@@ -683,6 +685,15 @@ def classify_read_files(
                 results.failed += 1
             else:
                 unclassified.write(ids[j], seqs[j])
+        # per-host-batch intermediate log (the reference's rolling
+        # avg-latency progress lines, src/main/classify.hpp:318-339)
+        processed[0] += len(seqs)
+        dt = time.monotonic() - t_start
+        log.info(
+            "intermediate: %d reads processed, %d classified, "
+            "avg classification time per read: %.6f s",
+            processed[0], results.found, dt / max(1, processed[0]),
+        )
 
     def submit(ids, seqs):
         if not seqs:

@@ -33,6 +33,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument(
         "--verbose", action="store_true", help="echo progress to stdout"
     )
+    from readbouncer_tpu import __version__
+
+    p.add_argument(
+        "--version", action="version", version=f"readbouncer-tpu {__version__}"
+    )
     return p.parse_args(argv)
 
 
