@@ -108,6 +108,11 @@ def main() -> None:
     global BATCH_SIZE, HOST_BATCH, PIPELINE_DEPTH
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=BATCH_SIZE)
+    ap.add_argument(
+        "--batch-b", type=int, default=0,
+        help="phase-B read batch (0 = same as --batch); phase-B reads "
+        "carry 3 chunks each, so smaller keeps anded intermediates matched",
+    )
     ap.add_argument("--host-batch", type=int, default=HOST_BATCH)
     ap.add_argument("--depth", type=int, default=PIPELINE_DEPTH)
     ap.add_argument(
@@ -136,7 +141,11 @@ def main() -> None:
     seqs = [seqs[i] for i in order]
 
     engine = ClassifyEngine(
-        targets, depletes, error_rate=ERROR_RATE, batch_size=BATCH_SIZE
+        targets,
+        depletes,
+        error_rate=ERROR_RATE,
+        batch_size=BATCH_SIZE,
+        batch_size_b=args.batch_b or None,
     )
     # congestion probe: tunnel round-trip latency swings 27 -> 417 ms by
     # the hour (docs/PERF_NOTES.md).  On a congested link the per-put/

@@ -118,6 +118,7 @@ class ClassifyEngine:
         max_chunks: int = 5,
         batch_size: int = 1024,
         overlap_pool: bool = False,
+        batch_size_b: int | None = None,
     ):
         if not target_filters and not deplete_filters:
             raise EmptyFilterError(
@@ -136,6 +137,11 @@ class ClassifyEngine:
             raise ValueError(f"max_chunks must be in [1, 254], got {max_chunks}")
         self.max_chunks = max_chunks
         self.batch_size = batch_size
+        # phase-B reads carry (max_chunks-1) chunks each, so a phase-B
+        # launch's `anded` intermediate is (C-1)x a phase-A launch's at
+        # the same read batch; a smaller phase-B batch keeps the
+        # intermediates matched (r04 sweep: smaller anded wins)
+        self.batch_size_b = batch_size_b or batch_size
         # overlap_pool=True uploads the full phase-B candidate pool while
         # phase A computes and gathers compacted rows on device — removes
         # the serial pack+upload stall on congested-tunnel days, but its
@@ -157,7 +163,8 @@ class ClassifyEngine:
         """Packed bulk-input program for n_chunks-wide batches."""
         from readbouncer_tpu.classify.fused import make_fused_classify_packed_fn
 
-        key = (n_chunks, attempt_offset, packing)
+        B = self.batch_size if attempt_offset == 0 else self.batch_size_b
+        key = (n_chunks, attempt_offset, packing, B)
         fn = self._fused_cache.get(key)
         if fn is None:
             fn = make_fused_classify_packed_fn(
@@ -167,7 +174,7 @@ class ClassifyEngine:
                 n_chunks,
                 self.error_rate,
                 self.significance,
-                self.batch_size,
+                B,
                 attempt_offset=attempt_offset,
                 plan=self._plan,
                 packing=packing,
@@ -179,7 +186,7 @@ class ClassifyEngine:
         """Gather-by-index phase-B program (rows picked on device)."""
         from readbouncer_tpu.classify.fused import make_fused_classify_indexed_fn
 
-        key = ("idx", n_chunks, pool_words)
+        key = ("idx", n_chunks, pool_words, self.batch_size_b)
         fn = self._fused_cache.get(key)
         if fn is None:
             fn = make_fused_classify_indexed_fn(
@@ -189,7 +196,7 @@ class ClassifyEngine:
                 n_chunks,
                 self.error_rate,
                 self.significance,
-                self.batch_size,
+                self.batch_size_b,
                 pool_words,
                 attempt_offset=1,
                 plan=self._plan,
@@ -448,7 +455,7 @@ class _ClassifyJob:
             return
         engine = self.engine
         cl, C = engine.chunk_length, engine.max_chunks
-        B = engine.batch_size
+        B = engine.batch_size_b
         lens = self.lens
         n = self.n
 
