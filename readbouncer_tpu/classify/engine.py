@@ -119,6 +119,7 @@ class ClassifyEngine:
         batch_size: int = 1024,
         overlap_pool: bool = False,
         batch_size_b: int | None = None,
+        packing: str = "auto",
     ):
         if not target_filters and not deplete_filters:
             raise EmptyFilterError(
@@ -142,6 +143,15 @@ class ClassifyEngine:
         # the same read batch; a smaller phase-B batch keeps the
         # intermediates matched (r04 sweep: smaller anded wins)
         self.batch_size_b = batch_size_b or batch_size
+        # "auto": per host batch — 2-bit for pure-ACGT, base-243 when a
+        # batch carries N.  The first N-containing batch of a run then
+        # lazily compiles the base-243 program set (minutes on the
+        # tunnel, docs/PERF_NOTES.md); runs that KNOW their reads carry
+        # Ns can pin packing="base243" up front to compile exactly one
+        # set ("2bit" pins the other way and rejects N batches).
+        if packing not in ("auto", "2bit", "base243"):
+            raise ValueError(f"packing must be auto|2bit|base243, got {packing!r}")
+        self.packing = packing
         # overlap_pool=True uploads the full phase-B candidate pool while
         # phase A computes and gathers compacted rows on device — removes
         # the serial pack+upload stall on congested-tunnel days, but its
@@ -395,7 +405,14 @@ class _ClassifyJob:
         # input count.
         enc, lens = encode_batch(seqs, L)
         self.enc, self.lens = enc, lens
-        self.packing = "base243" if bool((enc > 3).any()) else "2bit"
+        if engine.packing == "auto":
+            self.packing = "base243" if bool((enc > 3).any()) else "2bit"
+        else:
+            self.packing = engine.packing
+            if self.packing == "2bit" and bool((enc > 3).any()):
+                raise ValueError(
+                    "packing='2bit' pinned but this batch contains N bases"
+                )
         self._pack = pack4_np if self.packing == "2bit" else pack5_np
         n_pad = -(-n // B) * B
         self.n_pad = n_pad
@@ -600,6 +617,7 @@ def classify_read_files(
     output_suffix: str = "",
     transfer_mode: str = "serial",
     pipeline_depth: int = 2,
+    packing: str = "auto",
 ) -> ClassifyResults:
     """Drive classification over read files, writing per-target FASTAs and
     unclassified.fasta (reference: classify_reads, src/main/classify.hpp:142-380).
@@ -631,6 +649,7 @@ def classify_read_files(
         chunk_length,
         max_chunks,
         batch_size,
+        packing=packing,
     )
     log = get_logger("ClassifyLog")
     probe_s = None

@@ -87,6 +87,11 @@ class TPUParams:
     # program compile); "auto" decides from a timed 1-put probe
     # (classify.engine.choose_transfer_mode)
     transfer_mode: str = "serial"
+    # read-pool packing: "auto" (2-bit for pure-ACGT batches, base-243
+    # when a batch carries N), or pinned "2bit"/"base243" — pin
+    # base243 when inputs are known to carry Ns so only one program
+    # set ever compiles (classify.engine.ClassifyEngine)
+    packing: str = "auto"
     # host batches in flight in classify (2 = double-buffered: encode/
     # upload of batch i+1 and writes of batch i-1 overlap device compute)
     pipeline_depth: int = 2

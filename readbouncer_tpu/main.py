@@ -149,6 +149,7 @@ def run_classify(config: ConfigReader, verbose: bool) -> int:
         output_suffix=f".h{idx}" if n_proc > 1 else "",
         transfer_mode=config.tpu.transfer_mode,
         pipeline_depth=config.tpu.pipeline_depth,
+        packing=config.tpu.packing,
     )
     if n_proc > 1:
         # process-0 report over the summed per-host shard counters

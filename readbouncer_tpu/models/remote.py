@@ -78,6 +78,10 @@ class RemoteBasecaller(Basecaller):
         if self._sock is not None:
             self._sock.close()
             self._sock = None
+        # a half-read line or unconsumed responses must not survive into
+        # the next connection: a retried basecall() would join stale
+        # tags against a fresh batch
+        self._rx = b""
 
     def _recv_line(self, sock: socket.socket) -> dict:
         while b"\n" not in self._rx:
@@ -122,6 +126,25 @@ class RemoteBasecaller(Basecaller):
         """
         if not signals:
             return []
+        try:
+            return self._basecall_inner(signals)
+        except BasecallerError:
+            # the stream is desynced (timeout/EOF mid-batch): drop the
+            # connection so a retry starts clean instead of consuming
+            # stale responses against new tags
+            self.close()
+            raise
+        except socket.timeout as e:
+            self.close()
+            raise BasecallerError(
+                f"basecall server stalled (no progress within "
+                f"{self.read_timeout:.0f}s)"
+            ) from e
+        except OSError as e:
+            self.close()
+            raise BasecallerError(f"basecall connection failed: {e}") from e
+
+    def _basecall_inner(self, signals: list[np.ndarray]) -> list[str]:
         sock = self._connect()
         tags = []
         out: dict[int, str] = {}

@@ -466,6 +466,7 @@ class AdaptiveSampler:
         bc_dt = time.monotonic() - t0
         if self.cfg.profile_ticks:
             self._tick_prof["basecall_ms"] = bc_dt * 1e3
+            self._tick_prof["chunks"] = len(pchunks)
         self.stats.basecall_seconds += bc_dt
         for c in pchunks:
             tm = self.measures.get(c.read_id)
@@ -515,7 +516,11 @@ class AdaptiveSampler:
             # the device chews on it (cross-tick pipelining; opt-in —
             # see LiveConfig.overlap_ticks)
             if self.cfg.profile_ticks:
-                self._tick_prof = {"chunks": len(chunks)}
+                # "captured" = THIS tick's capture; "chunks" (the batch
+                # the latency/stage times describe) is set to the
+                # PREVIOUS tick's batch in _collect_pending_basecall —
+                # overlap mode decides t-1's chunks during tick t
+                self._tick_prof = {"captured": len(chunks)}
             handle = (
                 self.basecaller.basecall_submit([c.signal for c in chunks])
                 if chunks

@@ -45,24 +45,7 @@ M = 2048 * 2 * 238  # windows x strands of a 2048-chunk batch
 SEEDS = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D)
 
 
-def sync(out):
-    leaf = jax.tree.leaves(out)[0]
-    return np.asarray(leaf[(0,) * leaf.ndim])
-
-
-def timeit(fn, *args, n=15):
-    t0 = time.time()
-    out = fn(*args)
-    sync(out)
-    print(f"  compile+first: {time.time()-t0:.1f}s", flush=True)
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(n):
-            out = fn(*args)
-        sync(out)
-        ts.append((time.perf_counter() - t0) / n)
-    return float(np.median(ts))
+from _bench_util import sync, timeit  # noqa: E402 (shared tunnel-safe timing)
 
 
 def fmix32(z):

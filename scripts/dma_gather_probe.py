@@ -53,24 +53,7 @@ ROWS = 1_236_269  # realistic rbt1 sizing (docs/PERF_NOTES.md)
 W = 72  # words per row at the realistic 4-filter stack
 
 
-def sync(out):
-    leaf = jax.tree.leaves(out)[0]
-    return np.asarray(leaf[(0,) * leaf.ndim])
-
-
-def timeit(fn, *args, n=10):
-    t0 = time.time()
-    out = fn(*args)
-    sync(out)
-    print(f"  compile+first: {time.time()-t0:.1f}s", flush=True)
-    ts = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        for _ in range(n):
-            out = fn(*args)
-        sync(out)
-        ts.append((time.perf_counter() - t0) / n)
-    return min(ts)
+from _bench_util import sync, timeit  # noqa: E402
 
 
 def _dma_gather_kernel(

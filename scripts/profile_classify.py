@@ -26,9 +26,7 @@ import jax
 import numpy as np
 
 
-def sync(fut):
-    leaf = jax.tree.leaves(fut)[0]
-    np.asarray(leaf[(0,) * leaf.ndim])
+from _bench_util import sync  # noqa: E402
 
 
 def main() -> None:

@@ -253,6 +253,9 @@ def test_configlog_is_valid_toml_with_tpu_table(genome):
     the rebuild's [TPU] table and gate_order."""
     import tomllib
 
+    # self-sufficient: produce the log here rather than relying on a
+    # sibling test's side effect (ordering/-k selection safe)
+    main(["--config", str(_write_config(genome, "build"))])
     parsed = tomllib.loads(
         (genome / "log_build" / "configLog.toml").read_text()
     )
