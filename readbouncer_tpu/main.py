@@ -280,10 +280,23 @@ def run_target(config: ConfigReader, verbose: bool) -> int:
         overlap_ticks=config.tpu.overlap_ticks,
         mid_len=config.tpu.live_mid_len,
     )
+    if config.tpu.mesh_shape:
+        # bins-TP x data-DP live classification over a device mesh —
+        # for filter sets sharded across chips (parallel/sharded.py);
+        # identical decisions to the single-chip fused path
+        from readbouncer_tpu.parallel.mesh import make_mesh
+        from readbouncer_tpu.parallel.sharded import ShardedLiveClassifier
+
+        classifier = ShardedLiveClassifier(
+            targets, depletes, cfg, make_mesh(config.tpu.mesh_shape)
+        )
+        log.info("live classifier: mesh %s", config.tpu.mesh_shape)
+    else:
+        classifier = LiveClassifier(targets, depletes, cfg)
     sampler = AdaptiveSampler(
         source,
         basecaller,
-        LiveClassifier(targets, depletes, cfg),
+        classifier,
         output_dir=config.output_dir,
         cfg=cfg,
     )

@@ -29,7 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from readbouncer_tpu.ibf.query import FilterStack, _counts_impl, _max_counts_impl
 from readbouncer_tpu.parallel.mesh import BINS_AXIS, DATA_AXIS
 
-__all__ = ["ShardedFilterStack"]
+__all__ = ["ShardedFilterStack", "ShardedLiveClassifier"]
 
 
 def _classify_step_impl(
@@ -118,3 +118,102 @@ class ShardedFilterStack:
             jnp.asarray(thr_retry),
             self.bin_mask,
         )
+
+
+class ShardedLiveClassifier:
+    """Live check_unblock over a bins-TP x data-DP device mesh.
+
+    Drop-in for ``stream.scheduler.LiveClassifier`` (same ``decide``
+    surface, same length-bucket structure, IDENTICAL decisions —
+    asserted in tests/test_parallel.py) for deployments whose filter
+    set is bins-sharded across chips because it exceeds one chip's HBM:
+    the counts + dual-threshold step runs through
+    :class:`ShardedFilterStack` (GSPMD inserts the bins-axis segment-max
+    collective over ICI), the decision policy runs on host.  Selected
+    by ``[TPU] mesh_shape`` in target mode (main.run_target).
+    """
+
+    def __init__(self, target_filters, deplete_filters, cfg, mesh: Mesh):
+        from readbouncer_tpu.classify.fused import _plan_stacks
+
+        if not target_filters and not deplete_filters:
+            raise ValueError("live classification needs at least one filter")
+        self.cfg = cfg
+        t_stack = FilterStack(target_filters) if target_filters else None
+        d_stack = FilterStack(deplete_filters) if deplete_filters else None
+        combined, n_targets = _plan_stacks(t_stack, d_stack)
+        self.n_targets = n_targets
+        if combined is not None:
+            self._stacks = [("td", ShardedFilterStack(combined, mesh), combined)]
+        else:
+            self._stacks = [
+                (kind, ShardedFilterStack(s, mesh), s)
+                for kind, s in (("t", t_stack), ("d", d_stack))
+                if s is not None
+            ]
+        self.short_len = min(512, cfg.max_seq_len)
+        widths = [self.short_len]
+        if 0 < getattr(cfg, "mid_len", 0) < cfg.max_seq_len and cfg.mid_len > self.short_len:
+            widths.append(cfg.mid_len)
+        if cfg.max_seq_len > widths[-1]:
+            widths.append(cfg.max_seq_len)
+        self.bucket_lens = widths
+        self._batch = {
+            w: max(32, cfg.batch_size * self.short_len // w) for w in widths
+        }
+        shards = self._stacks[0][1].data_shards
+        for w, b in self._batch.items():
+            if b % shards:
+                raise ValueError(
+                    f"bucket batch {b} (width {w}) must divide over the "
+                    f"data axis ({shards})"
+                )
+
+    def _dual(self, enc, lens):
+        """(t_base, d_base, t_retry, d_retry) numpy maxima for a batch."""
+        from readbouncer_tpu.classify.math import ci_and_threshold_batch
+
+        t_b = t_r = d_b = d_r = None
+        for kind, sharded, stack in self._stacks:
+            thr_b = ci_and_threshold_batch(
+                lens, stack.kmer_size, self.cfg.error_rate, self.cfg.significance
+            )
+            thr_r = ci_and_threshold_batch(
+                lens, stack.kmer_size, self.cfg.error_rate - 0.02,
+                self.cfg.significance,
+            )
+            mb, mr = sharded.max_counts_dual(enc, lens, thr_b, thr_r)
+            mb, mr = np.asarray(mb), np.asarray(mr)
+            if kind == "td":
+                nt = self.n_targets
+                t_b, d_b = mb[:, :nt], mb[:, nt:]
+                t_r, d_r = mr[:, :nt], mr[:, nt:]
+            elif kind == "t":
+                t_b, t_r = mb, mr
+            else:
+                d_b, d_r = mb, mr
+        return t_b, d_b, t_r, d_r
+
+    def decide(self, seqs: list[str]) -> np.ndarray:
+        """Batched decisions: 0 continue / 1 unblock / 2 stop_receiving."""
+        from readbouncer_tpu.classify.engine import encode_batch
+        from readbouncer_tpu.classify.policy import live_decisions
+
+        if not seqs:
+            return np.zeros(0, dtype=np.int64)
+        out = np.zeros(len(seqs), dtype=np.int64)
+        lens_all = np.array([len(s) for s in seqs])
+        lo = -1  # first bucket includes empty sequences
+        for w in self.bucket_lens:
+            hi = w if w != self.bucket_lens[-1] else np.inf
+            idx = np.nonzero((lens_all > lo) & (lens_all <= hi))[0]
+            lo = w
+            B = self._batch[w]
+            for start in range(0, len(idx), B):
+                part_idx = idx[start : start + B]
+                part = [seqs[j][:w] for j in part_idx]
+                enc, lens = encode_batch(part, w, batch=B)
+                t_b, d_b, t_r, d_r = self._dual(enc, lens)
+                dec = live_decisions(d_b, t_b, d_r, t_r)
+                out[part_idx] = dec[: len(part)]
+        return out

@@ -263,3 +263,51 @@ def test_configlog_is_valid_toml_with_tpu_table(genome):
     assert parsed["TPU"]["batch_size"] >= 1
     assert parsed["TPU"]["overlap_ticks"] is False
     assert parsed["Basecaller"]["gate_order"] in ("zrn", "rzn")
+
+
+def test_cli_target_sharded_mesh(genome, capsys):
+    """usage="target" with [TPU] mesh_shape: the live run classifies
+    through ShardedLiveClassifier over the virtual 8-device mesh
+    (bins-TP x data-DP), decisions identical to the fused path."""
+    import csv as _csv
+
+    def decisions(out_dir):
+        rows = list(
+            _csv.reader(
+                open(genome / out_dir / "read_until_decision_stats.csv"),
+                delimiter=";",
+            )
+        )[1:]
+        return {r[0]: r[4] for r in rows}
+
+    def cfg_text(out_dir, extra):
+        return f'''
+usage = "target"
+output_directory = "{genome}/{out_dir}"
+log_directory = "{genome}/log_{out_dir}"
+
+[IBF]
+kmer_size = 13
+fragment_size = 2000
+target_files = ["{genome}/target.fasta"]
+deplete_files = ["{genome}/deplete.fasta"]
+exp_seq_error_rate = 0.1
+
+[Basecaller]
+caller = "Oracle"
+
+[TPU]
+batch_size = 16
+replay_file = "{genome}/reads.fasta"
+{extra}
+'''
+
+    cfg = genome / "target_mesh.toml"
+    cfg.write_text(cfg_text("out_target_mesh", 'mesh_shape = "data:4,bins:2"'))
+    assert main(["--config", str(cfg)]) == 0
+    capsys.readouterr()
+    cfg2 = genome / "target_fused_ref.toml"
+    cfg2.write_text(cfg_text("out_target_fused_ref", ""))
+    assert main(["--config", str(cfg2)]) == 0
+    capsys.readouterr()
+    assert decisions("out_target_mesh") == decisions("out_target_fused_ref")
