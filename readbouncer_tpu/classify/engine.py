@@ -387,6 +387,7 @@ class _ClassifyJob:
 
         self.engine = engine
         self.n = n = len(seqs)
+        self.futs_b = None  # set by dispatch_b (idempotence sentinel)
         cl, C = engine.chunk_length, engine.max_chunks
         L = cl * C
         B = engine.batch_size
@@ -468,7 +469,7 @@ class _ClassifyJob:
         """
         import jax
 
-        if self.n == 0 or getattr(self, "futs_b", None) is not None:
+        if self.n == 0 or self.futs_b is not None:
             return
         engine = self.engine
         cl, C = engine.chunk_length, engine.max_chunks

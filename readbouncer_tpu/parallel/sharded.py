@@ -151,16 +151,15 @@ class ShardedLiveClassifier:
                 for kind, s in (("t", t_stack), ("d", d_stack))
                 if s is not None
             ]
-        self.short_len = min(512, cfg.max_seq_len)
-        widths = [self.short_len]
-        if 0 < getattr(cfg, "mid_len", 0) < cfg.max_seq_len and cfg.mid_len > self.short_len:
-            widths.append(cfg.mid_len)
-        if cfg.max_seq_len > widths[-1]:
-            widths.append(cfg.max_seq_len)
+        from readbouncer_tpu.stream.scheduler import (
+            live_bucket_batches,
+            live_bucket_widths,
+        )
+
+        widths = live_bucket_widths(cfg)
+        self.short_len = widths[0]
         self.bucket_lens = widths
-        self._batch = {
-            w: max(32, cfg.batch_size * self.short_len // w) for w in widths
-        }
+        self._batch = live_bucket_batches(cfg, widths)
         shards = self._stacks[0][1].data_shards
         for w, b in self._batch.items():
             if b % shards:

@@ -55,6 +55,8 @@ __all__ = [
     "AdaptiveSampler",
     "LiveStats",
     "IntervalStats",
+    "live_bucket_widths",
+    "live_bucket_batches",
 ]
 
 
@@ -87,6 +89,29 @@ class LiveConfig:
     profile_ticks: bool = False
 
 
+def live_bucket_widths(cfg: "LiveConfig") -> list[int]:
+    """Length-bucket widths for live programs: 512, optional mid, max.
+
+    Shared by LiveClassifier and parallel.sharded.ShardedLiveClassifier
+    so the two paths bucket (and therefore batch) identically.
+    """
+    short = min(512, cfg.max_seq_len)
+    widths = [short]
+    mid = getattr(cfg, "mid_len", 0)
+    if short < mid < cfg.max_seq_len:
+        widths.append(mid)
+    if cfg.max_seq_len > widths[-1]:
+        widths.append(cfg.max_seq_len)
+    return widths
+
+
+def live_bucket_batches(cfg: "LiveConfig", widths: list[int]) -> dict[int, int]:
+    """Per-width batch sizes: scale inversely with width so every
+    bucket's program covers ~the same window count per launch."""
+    short = widths[0]
+    return {w: max(32, cfg.batch_size * short // w) for w in widths}
+
+
 class LiveClassifier:
     """Batched check_unblock (reference: src/main/adaptive_sampling.hpp:35-113)."""
 
@@ -111,12 +136,8 @@ class LiveClassifier:
         from readbouncer_tpu.classify.fused import _plan_stacks
 
         plan = _plan_stacks(self.targets, self.depletes)
-        self.short_len = min(512, cfg.max_seq_len)
-        widths = [self.short_len]
-        if 0 < cfg.mid_len < cfg.max_seq_len and cfg.mid_len > self.short_len:
-            widths.append(cfg.mid_len)
-        if cfg.max_seq_len > widths[-1]:
-            widths.append(cfg.max_seq_len)
+        widths = live_bucket_widths(cfg)
+        self.short_len = widths[0]
         self.bucket_lens = widths
         self._fused = {
             w: make_fused_live_fn(
@@ -130,11 +151,7 @@ class LiveClassifier:
             )
             for w in widths
         }
-        # batch sizes scale inversely with width so every bucket's
-        # program covers ~the same window count per launch
-        self._batch = {
-            w: max(32, cfg.batch_size * self.short_len // w) for w in widths
-        }
+        self._batch = live_bucket_batches(cfg, widths)
         self.long_batch = self._batch[widths[-1]]
 
     def _dispatch(self, seqs, idx, width, batch, fn, futures):

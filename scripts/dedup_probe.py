@@ -48,27 +48,14 @@ SEEDS = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D)
 from _bench_util import sync, timeit  # noqa: E402 (shared tunnel-safe timing)
 
 
-def fmix32(z):
-    z = z.astype(jnp.uint32)
-    z ^= z >> jnp.uint32(16)
-    z *= jnp.uint32(0x85EBCA6B)
-    z ^= z >> jnp.uint32(13)
-    z *= jnp.uint32(0xC2B2AE35)
-    z ^= z >> jnp.uint32(16)
-    return z
-
-
-def umulhi(a, b):
-    from readbouncer_tpu.ibf.query import umulhi_u32
-
-    return umulhi_u32(a.astype(jnp.uint32), b)
-
-
 def bloom_and(tab, codes):
-    """3 flat gathers (indices computed in-program) + AND -> [N, W]."""
+    """3 flat gathers (indices computed in-program) + AND -> [N, W]
+    (the library's device hash: ibf.query fmix32_jnp + umulhi_u32)."""
+    from readbouncer_tpu.ibf.query import fmix32_jnp, umulhi_u32
+
     out = None
     for s in SEEDS:
-        rows = umulhi(fmix32(codes * jnp.uint32(s)), ROWS)
+        rows = umulhi_u32(fmix32_jnp(codes * jnp.uint32(s)), ROWS)
         g = jnp.take(tab, rows.astype(jnp.int32), axis=0)
         out = g if out is None else (out & g)
     return out
