@@ -38,7 +38,6 @@ import numpy as np
 from readbouncer_tpu.classify.engine import encode_batch
 from readbouncer_tpu.classify.fused import make_fused_live_fn
 from readbouncer_tpu.classify.policy import (
-    DECISION_NONE,
     DECISION_STOP_RECEIVING,
     DECISION_UNBLOCK,
 )
