@@ -287,3 +287,18 @@ def test_packing_fallback_on_n_reads(filters):
     # and the N-read matches the waves oracle
     cw, bw, aw = e.classify_sequences_waves(seqs_n)
     assert got[0][5] == cw[5] and got[1][5] == bw[5]
+
+
+def test_packing_pinned_validation(filters):
+    genomes, tf, df = filters
+    with pytest.raises(ValueError, match="packing"):
+        ClassifyEngine(tf, df, error_rate=0.1, packing="3bit")
+    e = ClassifyEngine(
+        tf, df, error_rate=0.1, chunk_length=250, max_chunks=3,
+        batch_size=8, packing="2bit",
+    )
+    with pytest.raises(ValueError, match="N bases"):
+        e.classify_submit(["ACGTN" * 60])
+    # max_chunks guard (packed result word gives attempts 8 bits)
+    with pytest.raises(ValueError, match="max_chunks"):
+        ClassifyEngine(tf, df, error_rate=0.1, max_chunks=300)
