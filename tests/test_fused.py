@@ -302,3 +302,22 @@ def test_packing_pinned_validation(filters):
     # max_chunks guard (packed result word gives attempts 8 bits)
     with pytest.raises(ValueError, match="max_chunks"):
         ClassifyEngine(tf, df, error_rate=0.1, max_chunks=300)
+
+
+def test_reads_longer_than_chunk_budget(filters):
+    """Reads longer than max_chunks*chunk_length: only the chunk budget
+    is scored (the reference's loop stops at max_chunks) — fused ==
+    waves oracle on over-length reads."""
+    genomes, tf, df = filters
+    rng = np.random.default_rng(41)
+    g = genomes["t0"]
+    seqs = [
+        g[0:2000],                    # 2000 > 3*250: on-target, over budget
+        genomes["d"][300:1400],       # deplete-derived, over budget
+        "".join("ACGT"[i] for i in rng.integers(0, 4, 950)),  # random, over budget
+    ]
+    e = ClassifyEngine(tf, df, error_rate=0.1, chunk_length=250, max_chunks=3, batch_size=4)
+    want = e.classify_sequences_waves(seqs)
+    got = e.classify_sequences(seqs)
+    for w, gg in zip(want, got):
+        np.testing.assert_array_equal(w, gg)
